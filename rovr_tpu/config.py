@@ -1,0 +1,186 @@
+"""Single config tree for every ROVR-TPU workload.
+
+The reference scatters hyperparameters across hardcoded constants
+(lrs at rovr.py:58-60, clip at rovr.py:51, Gumbel temperatures at
+policy_net_1.py:17 / policy_net_2.py:22, mask geometry at video_ds.py:62-77,
+dataset paths at test.py:60) plus three argparse flags (test.py:12-16) and one
+env var (video_ds_explicit.py:34). Here every knob lives in one frozen
+dataclass tree so each of the five BASELINE.json configs is a pure value.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline. Mirrors video_ds.py / video_ds_explicit.py semantics."""
+
+    root_folder: str = "out/LQ"
+    # Reference loads 50 frames/clip, takes every 2nd -> 25 (video_ds.py:106),
+    # or the first 20 shuffled for the explicit dataset (video_ds_explicit.py:90).
+    frames_per_clip: int = 50
+    vid_length: int = 20
+    frame_size: Tuple[int, int] = (256, 256)  # H, W after half-split resize
+    # Corruption (video_ds.py:18-89)
+    difficulty: int = 2
+    brightness: int = 40
+    noise: int = 20
+    # Reference computes a random jitter box then discards it
+    # (video_ds.py:32-59: `mask` re-initialized at :59). Default preserves that
+    # behavior for parity; set True to apply the evidently intended extra box.
+    apply_jitter_box: bool = False
+    # Debug affordance (video_ds_explicit.py:33-34)
+    debug_short_dataset: bool = False
+    # Host-side pipeline
+    num_workers: int = 8
+    prefetch_depth: int = 2
+    use_native_loader: bool = True  # C++ decode/corrupt path when available
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Model-zoo dimensions (SURVEY.md §2.2-2.6)."""
+
+    # Local inpainting UNet (local_net.py:12-39): enc 9->64->128->256->512.
+    local_net_channels: Tuple[int, ...] = (64, 128, 256, 512)
+    # Policy 1 frame-selection UNet (policy_net_1.py:20-57).
+    pn1_channels: Tuple[int, ...] = (32, 64, 128, 256)
+    pn1_num_frames: int = 25
+    pn1_temperature: float = 0.5
+    # Policy 2 context-selection net (policy_net_2.py:41-69).
+    pn2_num_frames: int = 20
+    pn2_temperature: float = 0.7
+    pn2_fc_dims: Tuple[int, ...] = (1024, 512, 256, 64)
+    # VideoProcessor state canvas: re-specified from call-site constraints
+    # (SURVEY.md §2.13): single-channel 160x160 canvas of 32x32 tiles, 5 per
+    # row (room for 25 frames), plus a 1024-d per-frame feature vector.
+    canvas_size: int = 160
+    canvas_tile: int = 32
+    canvas_tiles_per_row: int = 5
+    feature_dim: int = 1024
+    # ActionLSTM (action_lstm.py:13-17)
+    lstm_hidden_dim: int = 1024
+    # Compute dtype for conv/matmul-heavy paths. Params stay float32.
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class RLConfig:
+    """PPO / rollout hyperparameters (rovr.py:26-60)."""
+
+    vid_length: int = 20
+    time_steps: int = 20
+    n_updates_per_ppo: int = 5
+    clip: float = 0.2
+    gamma: float = 1.0
+    actor_lr: float = 2e-4
+    critic_lr: float = 2e-4
+    local_net_lr: float = 2e-4
+    lpips_mse_gamma: float = 1.0
+    # Reference computes the optical-flow "spatio" reward but comments out its
+    # addition to rewards (rovr.py:234-237). Keep off by default for parity.
+    use_spatio_reward: bool = False
+    spatio_scale: float = 7.5
+
+
+@dataclasses.dataclass(frozen=True)
+class PretrainConfig:
+    """Local-net supervised pretrain (train_local_net_unet.py)."""
+
+    batch_size: int = 24
+    lr: float = 1e-4
+    # gamma = 0.1 + 0.9 * 0.9993**step (train_local_net_unet.py:109)
+    gamma_floor: float = 0.1
+    gamma_scale: float = 0.9
+    gamma_decay: float = 0.9993
+    # Reference supervises against frame f-1, not f
+    # (train_local_net_unet.py:44-52). Off by default: we fix the off-by-one
+    # and document the deviation; set True to reproduce it bit-for-bit.
+    legacy_target_offset: bool = False
+    viz_every: int = 200
+    checkpoint_every: int = 2000
+    steps: int = 10_000
+
+
+@dataclasses.dataclass(frozen=True)
+class ImitationConfig:
+    """Policy-2 warm start (imitation_learning.py)."""
+
+    lr: float = 2e-4
+    positive_weight: float = 1.5   # imitation_learning.py:91
+    negative_weight: float = 1.0   # imitation_learning.py:94
+    checkpoint_every: int = 250
+    steps: int = 1000
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh / sharding (SURVEY.md §2.14 rebuild column)."""
+
+    # Axis names: data (clips), model (reserved for tensor-parallel convs).
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = 1
+    model_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """Checkpoint/metrics plumbing (SURVEY.md §5)."""
+
+    run_dir: str = "runs"
+    experiment: str = "rovr"
+    restore_from: Optional[str] = None  # replaces hardcoded paths rovr.py:38,41
+    checkpoint_every: int = 1
+    log_every: int = 1
+    seed: int = 0
+    max_iterations: int = 400  # test.py:75-76 hard stop
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    rl: RLConfig = dataclasses.field(default_factory=RLConfig)
+    pretrain: PretrainConfig = dataclasses.field(default_factory=PretrainConfig)
+    imitation: ImitationConfig = dataclasses.field(default_factory=ImitationConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    run: RunConfig = dataclasses.field(default_factory=RunConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# The five BASELINE.json configs as values.
+
+def config_pretrain() -> Config:
+    """1: local_net UNet supervised inpainting on masked clips."""
+    return Config()
+
+
+def config_eval() -> Config:
+    """2: extractor + local_net reconstruction eval (no RL)."""
+    return Config()
+
+
+def config_imitation() -> Config:
+    """3: imitation warm-start of the context policy."""
+    return Config()
+
+
+def config_rl(vid_length: int = 16) -> Config:
+    """4: full RL loop over 16-frame clips."""
+    c = Config()
+    return c.replace(
+        rl=dataclasses.replace(c.rl, vid_length=vid_length, time_steps=vid_length),
+        data=dataclasses.replace(c.data, vid_length=vid_length),
+    )
+
+
+def config_rl_scaled(vid_length: int = 64, data_parallel: int = 8) -> Config:
+    """5: long-horizon batched rollouts, multi-clip RL on a v5e-8 mesh."""
+    c = config_rl(vid_length)
+    return c.replace(mesh=dataclasses.replace(c.mesh, data_parallel=data_parallel))

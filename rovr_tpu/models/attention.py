@@ -1,0 +1,202 @@
+"""Transformer building blocks — the revived seed of the sub-quadratic
+attention path.
+
+Parity: rovr/common_layers.py:7-118 (ImagePositionalEncoding,
+ContextPositionalEncoding, Self/CrossAttentionBlock, FeedForwardBlock,
+Encoder/DecoderBlock). In the reference these are imported by both policy
+nets but never instantiated — remnants of the pre-UNet ViT policy version
+(SURVEY.md §2.7). Here they are live: the attention-based state encoder for
+long (64-frame) clips uses them, with the inner attention dispatched to a
+blockwise Pallas flash kernel on TPU (ops/pallas/attention.py) and a plain
+jnp reference path elsewhere.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _attend(q, k, v, impl: str = "auto"):
+    """Dispatch to the Pallas flash kernel when profitable, else plain jnp.
+
+    q,k,v: (B, H, L, D). The Pallas path requires L and D aligned to the TPU
+    tile grid; the jnp path is the numerical reference.
+    """
+    if impl in ("pallas", "auto"):
+        try:
+            from rovr_tpu.ops.pallas.attention import flash_attention, supported
+
+            if impl == "pallas" or supported(q.shape):
+                return flash_attention(q, k, v)
+        except ImportError:
+            if impl == "pallas":
+                raise
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+class MultiHeadAttention(nn.Module):
+    hidden_dim: int
+    num_heads: int
+    dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, q_in, kv_in):
+        b, lq, _ = q_in.shape
+        lk = kv_in.shape[1]
+        h, d = self.num_heads, self.hidden_dim // self.num_heads
+        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+            (h, d), dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        q = dense("q")(q_in).transpose(0, 2, 1, 3)
+        k = dense("k")(kv_in).transpose(0, 2, 1, 3)
+        v = dense("v")(kv_in).transpose(0, 2, 1, 3)
+        o = _attend(q, k, v, self.attn_impl).transpose(0, 2, 1, 3)
+        return nn.DenseGeneral(
+            self.hidden_dim, axis=(-2, -1), dtype=self.dtype,
+            param_dtype=jnp.float32, name="out",
+        )(o)
+
+
+class SelfAttentionBlock(nn.Module):
+    """Pre-LN residual self-attention (common_layers.py:54-64)."""
+
+    hidden_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(param_dtype=jnp.float32)(x)
+        return y + MultiHeadAttention(
+            self.hidden_dim, self.num_heads, self.dtype, self.attn_impl
+        )(y, y)
+
+
+class CrossAttentionBlock(nn.Module):
+    """Pre-LN residual cross-attention (common_layers.py:66-78)."""
+
+    hidden_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, encoder_output):
+        y = nn.LayerNorm(param_dtype=jnp.float32)(x)
+        enc = nn.LayerNorm(param_dtype=jnp.float32)(encoder_output)
+        return y + MultiHeadAttention(
+            self.hidden_dim, self.num_heads, self.dtype, self.attn_impl
+        )(y, enc)
+
+
+class FeedForwardBlock(nn.Module):
+    """LN -> fc -> GELU -> dropout -> fc (common_layers.py:80-92)."""
+
+    hidden_dim: int
+    dropout: float = 0.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = nn.LayerNorm(param_dtype=jnp.float32)(x)
+        y = nn.Dense(self.hidden_dim // 4, dtype=self.dtype, param_dtype=jnp.float32)(y)
+        y = nn.gelu(y)
+        y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        return nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32)(y)
+
+
+class EncoderBlock(nn.Module):
+    """x + SA(x); x + FF(x) (common_layers.py:94-105)."""
+
+    hidden_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = x + SelfAttentionBlock(
+            self.hidden_dim, self.num_heads, self.dropout, self.dtype, self.attn_impl
+        )(x)
+        x = x + FeedForwardBlock(self.hidden_dim, self.dropout, self.dtype)(
+            x, deterministic
+        )
+        return x
+
+
+class DecoderBlock(nn.Module):
+    """x + SA(x); x + CA(x, enc); x + FF(x) (common_layers.py:107-118)."""
+
+    hidden_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, encoder_output, deterministic: bool = True):
+        x = x + SelfAttentionBlock(
+            self.hidden_dim, self.num_heads, self.dropout, self.dtype, self.attn_impl
+        )(x)
+        x = x + CrossAttentionBlock(
+            self.hidden_dim, self.num_heads, self.dropout, self.dtype, self.attn_impl
+        )(x, encoder_output)
+        x = x + FeedForwardBlock(self.hidden_dim, self.dropout, self.dtype)(
+            x, deterministic
+        )
+        return x
+
+
+class ImagePositionalEncoding(nn.Module):
+    """Learned linear positional encoding over patch index
+    (common_layers.py:7-25)."""
+
+    num_image_patches: int
+    patch_size: int
+    num_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.num_image_patches ** 2
+        dim = self.patch_size ** 2 * self.num_channels
+        pos = nn.Dense(dim, param_dtype=jnp.float32, name="positional_encoder")(
+            jnp.arange(n, dtype=jnp.float32)[:, None]
+        )
+        return x + pos[None]
+
+
+class ContextPositionalEncoding(nn.Module):
+    """Learned per-patch + per-context-frame encodings (common_layers.py:27-52)."""
+
+    num_context_patches: int
+    patch_size: int
+    num_channels: int
+    num_context: int
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, num_context, P, dim) -> (B, num_context * P, dim)."""
+        p = self.num_context_patches ** 2
+        dim = self.patch_size ** 2 * self.num_channels
+        patch_pos = nn.Dense(
+            dim, param_dtype=jnp.float32, name="patch_positional_encoder"
+        )(jnp.arange(p, dtype=jnp.float32)[:, None])
+        ctx_pos = nn.Dense(
+            dim, param_dtype=jnp.float32, name="context_positional_encoder"
+        )(jnp.arange(self.num_context, dtype=jnp.float32)[:, None])
+        pos = patch_pos[None, None] + ctx_pos[None, :, None]
+        y = x + pos
+        b = x.shape[0]
+        return y.reshape(b, self.num_context * p, dim)

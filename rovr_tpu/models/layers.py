@@ -1,0 +1,123 @@
+"""Shared building blocks for the ROVR-TPU model zoo.
+
+Notable design decision — BatchStatNorm: the reference runs every module in
+torch train mode forever (no .eval() on the policy nets), so its BatchNorm
+layers always normalize by CURRENT batch statistics and the running stats are
+never consumed (reference: rovr/policy_net_2.py:41-60 used train-mode-only in
+rovr/rovr.py). We reproduce exactly that semantics as a stateless, jit-pure
+layer: normalize by batch stats, learn scale/bias, keep no running state.
+This sidesteps BatchNorm-mutable-state-under-scan entirely (SURVEY.md §7
+"hard parts") while matching the reference's actual numerics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class BatchStatNorm(nn.Module):
+    """Normalize by current batch statistics over all axes but the last.
+
+    Equivalent to torch BatchNorm2d in train mode (biased variance), NHWC.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=axes)
+        var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.astype(x.dtype if self.dtype is None else self.dtype)
+
+
+def max_pool(
+    x: jnp.ndarray,
+    window: Tuple[int, int],
+    strides: Optional[Tuple[int, int]] = None,
+) -> jnp.ndarray:
+    """NHWC max pool, VALID padding (torch MaxPool2d default semantics)."""
+    strides = strides or window
+    return nn.max_pool(x, window_shape=window, strides=strides, padding="VALID")
+
+
+class ConvBlock(nn.Module):
+    """conv3x3 -> (optional batch-stat norm) -> relu, NHWC."""
+
+    features: int
+    use_norm: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            (3, 3),
+            padding=1,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        if self.use_norm:
+            x = BatchStatNorm(dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class UpConvBlock(nn.Module):
+    """2x2 stride-2 transposed conv -> (optional norm) -> relu, NHWC.
+
+    Matches torch ConvTranspose2d(k=2, s=2) exactly: output spatial = 2x input.
+    """
+
+    features: int
+    use_norm: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.ConvTranspose(
+            self.features,
+            (2, 2),
+            strides=(2, 2),
+            padding="VALID",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        if self.use_norm:
+            x = BatchStatNorm(dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class MLP(nn.Module):
+    """Stack of Dense layers with NO activations between them — faithful to the
+    reference's final_fc Sequential of bare Linears (policy_net_2.py:63-69).
+    A chain of bare linears is mathematically one linear map; we keep the
+    factored form for checkpoint-shape parity with the reference."""
+
+    dims: Sequence[int]
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for d in self.dims:
+            x = nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return x
+
+
+def standardize(x: jnp.ndarray, axis, eps: float, keepdims: bool = True):
+    """(x - mean) / (std + eps) with torch-style unbiased std."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=axis, keepdims=keepdims)
+    var = jnp.var(x32, axis=axis, keepdims=keepdims, ddof=1)
+    return ((x32 - mean) / (jnp.sqrt(var) + eps)).astype(x.dtype)

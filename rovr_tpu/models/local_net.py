@@ -1,0 +1,63 @@
+"""Local inpainting network Γ: reconstruct a target frame from two context
+frames. 4-level UNet, sigmoid output.
+
+Parity: LocalNetworkUNetNorm (reference: rovr/local_net.py:8-71). The
+reference constructs BatchNorm layers but never applies them in forward
+(activations are relu(conv(x)), local_net.py:52-71) — we match the ACTUAL
+forward semantics and omit the dead norm parameters entirely.
+
+TPU-native choices: NHWC layout, bfloat16 conv compute with float32 params,
+channel concat on the last (lane) axis so XLA fuses the skip connections.
+Input is the target frame plus 2 context frames stacked on channels:
+(B, 256, 256, 9) — the NHWC twin of local_net.py:46-49.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rovr_tpu.models.layers import max_pool
+
+
+class LocalNetUNet(nn.Module):
+    channels: Tuple[int, ...] = (64, 128, 256, 512)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, target: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        """target (B,H,W,3), context (B,2,H,W,3) -> (B,H,W,3) in [0,1]."""
+        b, h, w, _ = target.shape
+        x = jnp.concatenate(
+            [target, context[:, 0], context[:, 1]], axis=-1
+        ).astype(self.dtype)
+
+        conv = lambda f, k, name: nn.Conv(  # noqa: E731
+            f, (k, k), padding=k // 2, dtype=self.dtype,
+            param_dtype=jnp.float32, name=name,
+        )
+        upconv = lambda f, name: nn.ConvTranspose(  # noqa: E731
+            f, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype,
+            param_dtype=jnp.float32, name=name,
+        )
+        c1, c2, c3, c4 = self.channels
+
+        # Contracting path (local_net.py:52-55)
+        x1 = nn.relu(conv(c1, 3, "conv1")(x))
+        x2 = nn.relu(conv(c2, 3, "conv2")(max_pool(x1, (2, 2))))
+        x3 = nn.relu(conv(c3, 3, "conv3")(max_pool(x2, (2, 2))))
+        x4 = nn.relu(conv(c4, 3, "conv4")(max_pool(x3, (2, 2))))
+
+        # Expanding path with skip concat (local_net.py:58-68)
+        y = nn.relu(upconv(c3, "upconv1")(x4))
+        y = nn.relu(conv(c3, 3, "conv5")(jnp.concatenate([y, x3], axis=-1)))
+        y = nn.relu(upconv(c2, "upconv2")(y))
+        y = nn.relu(conv(c2, 3, "conv6")(jnp.concatenate([y, x2], axis=-1)))
+        y = nn.relu(upconv(c1, "upconv3")(y))
+        y = nn.relu(conv(c1, 3, "conv7")(jnp.concatenate([y, x1], axis=-1)))
+
+        # 1x1 head + sigmoid (local_net.py:71)
+        out = conv(3, 1, "conv8")(y)
+        return nn.sigmoid(out.astype(jnp.float32))

@@ -1,0 +1,107 @@
+"""Policy network π₁ / V₁: pick WHICH frame to reconstruct next from the
+composite state canvas.
+
+Parity: PolicyNetwork1UNet (reference: rovr/policy_net_1.py:11-114) — a
+3-level UNet over the (80,80) canvas + LSTM history token (6 input channels),
+head convs + maxpools to a 400-d flatten, per-sample standardization, then a
+400->25 actor head (Gumbel-softmax, tau=0.5) or 400->1 critic head.
+
+Dead in the reference's shipped main path (usage commented out,
+rovr/rovr.py:118-128) but part of the declared MDP; first-class here.
+
+Functional deviations (documented per SURVEY.md §7):
+  * Standardizations use keepdims means. The reference's
+    `logits - logits.mean(dim=1)` (policy_net_1.py:99) only broadcasts for
+    batch size 1; the keepdims form is the evident intent.
+  * Gumbel sampling takes an explicit PRNG key (reference uses torch global
+    RNG, policy_net_1.py:101).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rovr_tpu.models.layers import BatchStatNorm, ConvBlock, UpConvBlock, max_pool, standardize
+
+
+class PolicyNet1(nn.Module):
+    num_frames: int = 25
+    channels: Tuple[int, ...] = (32, 64, 128, 256)
+    temperature: float = 0.5
+    is_critic: bool = False
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        c1, c2, c3, c4 = self.channels
+        self.enc = [ConvBlock(c, dtype=self.dtype) for c in (c1, c2, c3, c4)]
+        self.up = [UpConvBlock(c, dtype=self.dtype) for c in (c3, c2, c1)]
+        self.dec = [ConvBlock(c, dtype=self.dtype) for c in (c3, c2, c1)]
+        self.head1 = nn.Conv(3, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)
+        self.head1_norm = BatchStatNorm(dtype=self.dtype)
+        self.head2 = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)
+        self.head2_norm = BatchStatNorm(dtype=self.dtype)
+        self.fc_final = nn.Dense(
+            1 if self.is_critic else self.num_frames, param_dtype=jnp.float32
+        )
+
+    def _unet(self, x: jnp.ndarray) -> jnp.ndarray:
+        # encoder (policy_net_1.py:61-65)
+        x1 = self.enc[0](x)
+        x2 = self.enc[1](max_pool(x1, (2, 2)))
+        x3 = self.enc[2](max_pool(x2, (2, 2)))
+        x4 = self.enc[3](max_pool(x3, (2, 2)))
+        # decoder with skips (policy_net_1.py:69-79)
+        y = self.up[0](x4)
+        y = self.dec[0](jnp.concatenate([y, x3], axis=-1))
+        y = self.up[1](y)
+        y = self.dec[1](jnp.concatenate([y, x2], axis=-1))
+        y = self.up[2](y)
+        y = self.dec[2](jnp.concatenate([y, x1], axis=-1))
+        # head (policy_net_1.py:81-84)
+        y = nn.relu(self.head1_norm(self.head1(y)))
+        y = nn.relu(self.head2_norm(self.head2(max_pool(y, (2, 2)))))
+        return max_pool(y, (2, 2))
+
+    def logits(self, image: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        """image (B,80,80,3) canvas, context (B,80,80,3) history token."""
+        x = jnp.concatenate([image, context], axis=-1).astype(self.dtype)
+        feat = self._unet(x).reshape(x.shape[0], -1).astype(jnp.float32)
+        # per-sample standardization (policy_net_1.py:91-93; unbiased std, no eps)
+        feat = standardize(feat, axis=1, eps=0.0)
+        return self.fc_final(feat)
+
+    def __call__(self, image, context, rng):
+        return self.act(image, context, rng)
+
+    def act(self, image, context, rng) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Sample a frame index. Returns (action (B,), logprob (B,))."""
+        if self.is_critic:
+            raise ValueError("act() is for the actor head")
+        logits = self.logits(image, context)
+        logits = standardize(logits, axis=1, eps=0.1)  # policy_net_1.py:99
+        probs = gumbel_softmax(logits, rng, self.temperature)
+        action = jnp.argmax(probs, axis=1)
+        logprob = jnp.log(jnp.max(probs, axis=1))
+        return jax.lax.stop_gradient(action), jax.lax.stop_gradient(logprob)
+
+    def logprob(self, image, context, action, rng) -> jnp.ndarray:
+        """Recompute log-prob of `action` with fresh Gumbel noise
+        (policy_net_1.py:107-114)."""
+        logits = self.logits(image, context)
+        probs = gumbel_softmax(logits, rng, self.temperature)
+        return jnp.log(jnp.take_along_axis(probs, action[:, None], axis=1))[:, 0]
+
+    def value(self, image, context) -> jnp.ndarray:
+        if not self.is_critic:
+            raise ValueError("value() is for the critic head")
+        return self.logits(image, context)[:, 0]
+
+
+def gumbel_softmax(logits: jnp.ndarray, rng, temperature: float) -> jnp.ndarray:
+    """softmax((logits + Gumbel noise) / tau) — torch F.gumbel_softmax(hard=False)."""
+    g = jax.random.gumbel(rng, logits.shape, dtype=logits.dtype)
+    return jax.nn.softmax((logits + g) / temperature, axis=-1)

@@ -1,0 +1,123 @@
+"""Policy network π₂ / V₂: pick the TWO context frames for inpainting the
+current target. The only policy trained by PPO in the reference's main path
+(reference: rovr/rovr.py:74).
+
+Parity: PolicyNetwork2UNet (reference: rovr/policy_net_2.py:11-142):
+  * `video_conv` branch: 4x [conv3x3 -> BN -> relu -> maxpool] over the
+    (160,160,1) state canvas with aggressive pooling (8x, 4x, 1x, 2x(2,1),
+    2x(2,2)) -> 1024-d flatten (policy_net_2.py:41-60).
+  * target-frame branch: the per-frame 1024-d feature is used directly
+    (the conv context branch is bypassed, policy_net_2.py:87-88).
+  * concat -> 2048 -> final_fc chain of bare Linears 2048->1024->512->256->
+    64->20 (policy_net_2.py:63-69) — kept factored for checkpoint parity.
+  * masked logits: the target's own logit is set to 0 via scatter, then
+    standardized with eps 0.1 (policy_net_2.py:110-124).
+  * actor: Gumbel-softmax tau=0.7, top-2; joint logprob
+    (log p_a + log p_b)/2 + ln 2 (policy_net_2.py:98-102).
+  * PPO logprob: 20x20 outer product of marginals, gather the flattened pair
+    index (policy_net_2.py:127-142) — the two picks treated as independent.
+
+Deviations: keepdims standardization (see policy_net_1.py note) and explicit
+PRNG keys for Gumbel noise.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rovr_tpu.models.layers import BatchStatNorm, MLP, max_pool, standardize
+from rovr_tpu.models.policy_net_1 import gumbel_softmax
+
+LN2 = 0.69314  # the reference's literal constant (policy_net_2.py:101)
+
+
+class PolicyNet2(nn.Module):
+    num_frames: int = 20
+    fc_dims: Sequence[int] = (1024, 512, 256, 64)
+    temperature: float = 0.7
+    is_critic: bool = False
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        conv = lambda f: nn.Conv(  # noqa: E731
+            f, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32
+        )
+        self.convs = [conv(64), conv(128), conv(256), conv(512)]
+        self.norms = [BatchStatNorm(dtype=self.dtype) for _ in range(4)]
+        out = 1 if self.is_critic else self.num_frames
+        self.final_fc = MLP(tuple(self.fc_dims) + (out,))
+
+    def _video_conv(self, canvas: jnp.ndarray) -> jnp.ndarray:
+        """(B,160,160,1) -> (B,1024). Parity: policy_net_2.py:41-60."""
+        x = canvas.astype(self.dtype)
+        x = max_pool(nn.relu(self.norms[0](self.convs[0](x))), (8, 8))   # 20x20x64
+        x = max_pool(nn.relu(self.norms[1](self.convs[1](x))), (4, 4))   # 5x5x128
+        x = nn.relu(self.norms[2](self.convs[2](x)))                      # 5x5x256 (1x pool)
+        x = nn.relu(self.norms[3](self.convs[3](x)))                      # 5x5x512
+        x = max_pool(x, (2, 2), (2, 1))                                   # 2x4x512
+        x = max_pool(x, (2, 2), (2, 2))                                   # 1x2x512
+        return x.reshape(x.shape[0], -1).astype(jnp.float32)              # 1024
+
+    def _stacked(self, canvas: jnp.ndarray, target_feat: jnp.ndarray) -> jnp.ndarray:
+        vector_out = self._video_conv(canvas)
+        return jnp.concatenate(
+            [vector_out, target_feat.astype(jnp.float32)], axis=1
+        )  # (B, 2048)
+
+    def masked_logits(self, canvas, target_feat, target_idx) -> jnp.ndarray:
+        """Raw standardized logits with the target's own logit zeroed
+        (policy_net_2.py:110-124). target_idx: int (B,) or (B,1)."""
+        if self.is_critic:
+            raise ValueError("masked_logits() is for the actor head")
+        stacked = self._stacked(canvas, target_feat)
+        logits = self.final_fc(stacked)
+        idx = target_idx.reshape(-1).astype(jnp.int32)
+        onehot = jax.nn.one_hot(idx, self.num_frames, dtype=logits.dtype)
+        logits = logits * (1.0 - onehot)  # scatter_(1, target, 0)
+        return standardize(logits, axis=1, eps=0.1)
+
+    def __call__(self, canvas, target_feat, target_idx, rng):
+        return self.act(canvas, target_feat, target_idx, rng)
+
+    def act(self, canvas, target_feat, target_idx, rng):
+        """Sample top-2 context frames. Returns (actions (B,2), logprob (B,)).
+        Parity: policy_net_2.py:94-102."""
+        logits = self.masked_logits(canvas, target_feat, target_idx)
+        probs = gumbel_softmax(logits, rng, self.temperature)
+        top = jax.lax.top_k(probs, 2)
+        logprob = jnp.sum(jnp.log(top[0]), axis=1) / 2 + LN2
+        return (
+            jax.lax.stop_gradient(top[1]),
+            jax.lax.stop_gradient(logprob),
+        )
+
+    def logprob(self, canvas, target_feat, target_idx, action, rng) -> jnp.ndarray:
+        """PPO logprob of a stored context pair with fresh Gumbel noise,
+        via the outer product of marginals (policy_net_2.py:127-142)."""
+        if self.is_critic:
+            raise ValueError("logprob() is for the actor head")
+        stacked = self._stacked(canvas, target_feat)
+        logits = self.final_fc(stacked)
+        idx = target_idx.reshape(-1).astype(jnp.int32)
+        onehot = jax.nn.one_hot(idx, self.num_frames, dtype=logits.dtype)
+        logits = logits * (1.0 - onehot)
+        # NOTE: the reference's PPO path does NOT re-standardize after masking
+        # (policy_net_2.py:138-140), unlike the rollout path — kept faithful.
+        probs = gumbel_softmax(logits, rng, self.temperature)
+        pa = jnp.take_along_axis(probs, action[:, 0:1], axis=1)[:, 0]
+        pb = jnp.take_along_axis(probs, action[:, 1:2], axis=1)[:, 0]
+        return (jnp.log(pa) + jnp.log(pb)) / 2 + LN2
+
+    def value(self, canvas, target_feat) -> jnp.ndarray:
+        """Critic: batch-standardize the 2048-d feature then final_fc -> 1
+        (policy_net_2.py:103-108)."""
+        if not self.is_critic:
+            raise ValueError("value() is for the critic head")
+        stacked = self._stacked(canvas, target_feat)
+        stacked = standardize(stacked, axis=0, eps=0.001)
+        return self.final_fc(stacked)[:, 0]

@@ -1,0 +1,136 @@
+"""Frozen ResNet-50 backbone φ for per-frame feature extraction.
+
+Parity: torchvision resnet50 minus the FC layer, used frozen/eval
+(reference: rovr/resnet_extractor.py:8-16). Rebuilt NHWC for TPU with
+bfloat16 conv compute.
+
+Because the backbone is frozen and eval-only in the reference, BatchNorm here
+is a pure affine transform using stored statistics (`FrozenBatchNorm`) — no
+mutable state, fully jit/scan-safe.
+
+Pretrained torchvision weights can be converted with
+`convert_torch_state_dict` when a checkpoint file is available (this
+environment has no network egress, so tests/benchmarks run with the
+deterministic random init — throughput and shape parity don't depend on
+weight values).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+STAGE_SIZES = (3, 4, 6, 3)  # resnet50
+
+
+class FrozenBatchNorm(nn.Module):
+    """Eval-mode BatchNorm: y = scale * (x - mean) / sqrt(var + eps) + bias,
+    with statistics stored as (frozen) parameters."""
+
+    epsilon: float = 1e-5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.param("mean", nn.initializers.zeros, (c,), jnp.float32)
+        var = self.param("var", nn.initializers.ones, (c,), jnp.float32)
+        inv = scale / np.sqrt(1.0) / jnp.sqrt(var + self.epsilon)
+        y = x.astype(jnp.float32) * inv + (bias - mean * inv)
+        return y.astype(x.dtype if self.dtype is None else self.dtype)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    strides: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        conv = lambda f, k, s, name: nn.Conv(  # noqa: E731
+            f, (k, k), strides=(s, s), padding=k // 2, use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name,
+        )
+        residual = x
+        y = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn1")(
+            conv(self.features, 1, 1, "conv1")(x)))
+        y = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn2")(
+            conv(self.features, 3, self.strides, "conv2")(y)))
+        y = FrozenBatchNorm(dtype=self.dtype, name="bn3")(
+            conv(self.features * 4, 1, 1, "conv3")(y))
+        if residual.shape != y.shape:
+            residual = FrozenBatchNorm(dtype=self.dtype, name="bn_down")(
+                conv(self.features * 4, 1, self.strides, "conv_down")(residual))
+        return nn.relu(y + residual)
+
+
+class ResNet50(nn.Module):
+    """NHWC ResNet-50 trunk -> (B, 2048) pooled features."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, 224, 224, 3) in [0, 1] -> (B, 2048)."""
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
+        )(x)
+        x = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn1")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        features = 64
+        for stage, num_blocks in enumerate(STAGE_SIZES):
+            for block in range(num_blocks):
+                strides = 2 if stage > 0 and block == 0 else 1
+                x = Bottleneck(
+                    features, strides, dtype=self.dtype,
+                    name=f"layer{stage + 1}_{block}",
+                )(x)
+            features *= 2
+        # global average pool (torchvision AdaptiveAvgPool2d(1))
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+
+
+def convert_torch_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict:
+    """Map a torchvision resnet50 state_dict to this module's param pytree.
+
+    Conv kernels transpose OIHW -> HWIO; BN running stats land in the
+    FrozenBatchNorm mean/var params.
+    """
+    def conv(k):
+        return np.asarray(state_dict[k]).transpose(2, 3, 1, 0)
+
+    def bn(prefix):
+        return {
+            "scale": np.asarray(state_dict[f"{prefix}.weight"]),
+            "bias": np.asarray(state_dict[f"{prefix}.bias"]),
+            "mean": np.asarray(state_dict[f"{prefix}.running_mean"]),
+            "var": np.asarray(state_dict[f"{prefix}.running_var"]),
+        }
+
+    params: Dict[str, Any] = {
+        "conv1": {"kernel": conv("conv1.weight")},
+        "bn1": bn("bn1"),
+    }
+    for stage, num_blocks in enumerate(STAGE_SIZES):
+        for block in range(num_blocks):
+            t = f"layer{stage + 1}.{block}"
+            entry = {
+                "conv1": {"kernel": conv(f"{t}.conv1.weight")},
+                "bn1": bn(f"{t}.bn1"),
+                "conv2": {"kernel": conv(f"{t}.conv2.weight")},
+                "bn2": bn(f"{t}.bn2"),
+                "conv3": {"kernel": conv(f"{t}.conv3.weight")},
+                "bn3": bn(f"{t}.bn3"),
+            }
+            if f"{t}.downsample.0.weight" in state_dict:
+                entry["conv_down"] = {"kernel": conv(f"{t}.downsample.0.weight")}
+                entry["bn_down"] = bn(f"{t}.downsample.1")
+            params[f"layer{stage + 1}_{block}"] = entry
+    return params

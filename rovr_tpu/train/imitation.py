@@ -1,0 +1,189 @@
+"""Workload 3: imitation-learning warm start of the context policy π₂.
+
+Parity target: rovr/imitation_learning.py — per clip, build the state once
+(VideoProcessor over 20 preprocessed frames, imitation_learning.py:72-78),
+replicate it x20 (one row per target index, :83), get raw masked logits with
+target=arange(20) (:87 -> policy_net_2.py:92-93), then BCE-with-logits
+pulled +1.5x toward each positive pair's multi-hot and -1x away from each
+negative pair (:88-94). Adam lr=2e-4, checkpoint every 250.
+
+TPU-native: frame preprocessing is an on-device batched resize (no PIL
+round-trip); the whole step (encode -> logits -> ±BCE -> backward -> Adam)
+is one jitted function.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from rovr_tpu.config import Config
+from rovr_tpu.models.policy_net_2 import PolicyNet2
+from rovr_tpu.models.video_processor import VideoProcessor
+
+
+class ImitationState(struct.PyTreeNode):
+    step: jnp.ndarray
+    pn2_params: Any
+    vp_params: Any
+    opt_state: Any
+
+
+class ImitationModules(NamedTuple):
+    pn2: PolicyNet2
+    vp: VideoProcessor
+    tx: optax.GradientTransformation
+
+
+def make_modules(cfg: Config, dtype=None) -> ImitationModules:
+    dt = dtype if dtype is not None else jnp.bfloat16
+    return ImitationModules(
+        pn2=PolicyNet2(
+            num_frames=cfg.model.pn2_num_frames,
+            fc_dims=cfg.model.pn2_fc_dims,
+            temperature=cfg.model.pn2_temperature,
+            dtype=dt,
+        ),
+        vp=VideoProcessor(
+            canvas_size=cfg.model.canvas_size,
+            tile=cfg.model.canvas_tile,
+            tiles_per_row=cfg.model.canvas_tiles_per_row,
+            feature_dim=cfg.model.feature_dim,
+            dtype=dt,
+        ),
+        tx=optax.adam(cfg.imitation.lr),
+    )
+
+
+def init_state(cfg: Config, mods: ImitationModules, rng) -> ImitationState:
+    s = cfg.model.pn2_num_frames
+    k1, k2, k3 = jax.random.split(rng, 3)
+    frames = jnp.zeros((1, s, 224, 224, 3))
+    vp_params = mods.vp.init(k1, frames)["params"]
+    canvas = jnp.zeros((s, cfg.model.canvas_size, cfg.model.canvas_size, 1))
+    feats = jnp.zeros((s, cfg.model.feature_dim))
+    pn2_params = mods.pn2.init(
+        k2, canvas, feats, jnp.arange(s), k3
+    )["params"]
+    # Only pn2 + the VideoProcessor heads train; the ResNet backbone is frozen
+    # inside VideoProcessor.encode (stop_gradient).
+    return ImitationState(
+        step=jnp.zeros((), jnp.int32),
+        pn2_params=pn2_params,
+        vp_params=vp_params,
+        opt_state=mods.tx.init(pn2_params),
+    )
+
+
+def preprocess_frames(video: jnp.ndarray) -> jnp.ndarray:
+    """(S, H, W, 3) in [0,1] -> (1, S, 224, 224, 3).
+
+    On-device bilinear resize — replaces the reference's per-frame
+    ToPILImage/Resize/ToTensor CPU round-trip (resnet_extractor.py:18-23,
+    imitation_learning.py:72)."""
+    s = video.shape[0]
+    resized = jax.image.resize(video, (s, 224, 224, 3), method="bilinear")
+    return resized[None]
+
+
+def multi_hot(pairs: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """(B, 2) index pairs -> (B, num_classes) multi-hot (sum of one-hots,
+    imitation_learning.py:89)."""
+    return jax.nn.one_hot(pairs[:, 0], num_classes) + jax.nn.one_hot(
+        pairs[:, 1], num_classes
+    )
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """mean BCEWithLogits — torch semantics (mean over all elements)."""
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    return -jnp.mean(targets * log_p + (1.0 - targets) * log_not_p)
+
+
+def imitation_loss(
+    pn2_params,
+    vp_params,
+    mods: ImitationModules,
+    video: jnp.ndarray,
+    positives: jnp.ndarray,
+    negatives: jnp.ndarray,
+    pos_w: float = 1.5,
+    neg_w: float = 1.0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """video (S,H,W,3); positives (S,16,2); negatives (S,3,2)."""
+    s = video.shape[0]
+    frames = preprocess_frames(video)
+    canvas, feats = mods.vp.apply({"params": vp_params}, frames)
+    canvas20 = jnp.broadcast_to(canvas[0][None], (s,) + canvas.shape[1:])
+    logits = mods.pn2.apply(
+        {"params": pn2_params},
+        canvas20,
+        feats[0],
+        jnp.arange(s),
+        method=PolicyNet2.masked_logits,
+    )
+    n = mods.pn2.num_frames
+    loss = jnp.float32(0.0)
+    for i in range(positives.shape[1]):
+        loss = loss + bce_with_logits(logits, multi_hot(positives[:, i], n)) * pos_w
+    for i in range(negatives.shape[1]):
+        loss = loss - bce_with_logits(logits, multi_hot(negatives[:, i], n)) * neg_w
+    return loss, {"Loss/expert_loss": loss}
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def train_step(state: ImitationState, batch, mods: ImitationModules):
+    video, positives, negatives = batch
+    (_, metrics), grads = jax.value_and_grad(imitation_loss, has_aux=True)(
+        state.pn2_params, state.vp_params, mods, video, positives, negatives
+    )
+    updates, opt_state = mods.tx.update(grads, state.opt_state, state.pn2_params)
+    params = optax.apply_updates(state.pn2_params, updates)
+    return (
+        state.replace(step=state.step + 1, pn2_params=params, opt_state=opt_state),
+        metrics,
+    )
+
+
+def run(cfg: Optional[Config] = None, dataset=None, steps: Optional[int] = None,
+        log_cb=None) -> ImitationState:
+    """Driver: cycles the explicit dataset (synthetic fallback), jitted step,
+    Orbax checkpoints every cfg.imitation.checkpoint_every."""
+    from rovr_tpu.data.dataset import SyntheticExplicitDataset
+    from rovr_tpu.utils.checkpoint import CheckpointManager, run_dir
+    from rovr_tpu.utils.logging import MetricsWriter
+
+    cfg = cfg or Config()
+    steps = steps if steps is not None else cfg.imitation.steps
+    rng = jax.random.PRNGKey(cfg.run.seed)
+    mods = make_modules(cfg)
+    state = init_state(cfg, mods, rng)
+    dataset = dataset or SyntheticExplicitDataset(cfg.data, seed=cfg.run.seed)
+
+    path = run_dir(cfg.run.run_dir, "warm_start_pn2")
+    writer = MetricsWriter(path)
+    ckpt = CheckpointManager(
+        f"{path}/checkpoints", every=cfg.imitation.checkpoint_every
+    )
+
+    for i in range(steps):
+        corrupted, _, _, positives, negatives = dataset[i % len(dataset)]
+        state, metrics = train_step(
+            state,
+            (jnp.asarray(corrupted), jnp.asarray(positives), jnp.asarray(negatives)),
+            mods,
+        )
+        if i % cfg.run.log_every == 0:
+            writer.scalars({k: float(v) for k, v in metrics.items()}, i)
+            if log_cb:
+                log_cb(i, metrics)
+        ckpt.save(i, state)
+    ckpt.wait()
+    writer.close()
+    return state

@@ -1,0 +1,1 @@
+from rovr_tpu.utils import checkpoint, logging  # noqa: F401

@@ -1,0 +1,62 @@
+"""Orbax-backed checkpointing with restore-by-flag.
+
+Replaces the reference's ad-hoc torch.save dicts at fixed cadences
+(reference: rovr/train_local_net_unet.py:120-127 every 2000 steps,
+rovr/imitation_learning.py:102-108 every 250 epochs, rovr/test.py:88-93
+every iteration) and its HARDCODED restore paths (rovr/rovr.py:38,41 — the
+shipped code crashes without two absolute run-dir paths). Here restore is a
+config flag and "fresh start" is the default.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+
+def run_dir(root: str, experiment: str) -> str:
+    """Timestamped run directory, reference layout (rovr.py:63-64)."""
+    path = os.path.join(
+        root, experiment, time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime())
+    )
+    os.makedirs(os.path.join(path, "checkpoints"), exist_ok=True)
+    return path
+
+
+class CheckpointManager:
+    """Thin Orbax CheckpointManager wrapper for pytree train states."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3, every: int = 1):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.every = max(1, every)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+
+    def save(self, step: int, state: Any, force: bool = False) -> bool:
+        if not force and step % self.every != 0:
+            return False
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        return True
+
+    def restore(self, step: Optional[int] = None, template: Any = None) -> Any:
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            return None
+        if template is not None:
+            return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return self._mgr.restore(step)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
