@@ -1,0 +1,197 @@
+"""Command-line entry points for every ROVR-TPU workload.
+
+Replaces the reference's entry scripts (SURVEY.md §2.12): `rovr/test.py`
+(the RL training driver, argparse flags --vid_length --time_steps
+--n_updates_per_ppo, test.py:12-16), `rovr/train_local_net_unet.py` and
+`rovr/imitation_learning.py` (no flags, run top-to-bottom at import), and
+the empty `rovr/test_frames.py`. One `python -m rovr_tpu <cmd>` with
+subcommands and a full flag surface over the config tree; GPUtil device
+selection (test.py:25-32) becomes mesh construction over jax.devices().
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from typing import List, Optional
+
+from rovr_tpu.config import Config
+
+
+def _base_parser(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--root_folder", type=str, default=None,
+                   help="frame-folder dataset root (default: synthetic clips)")
+    p.add_argument("--run_dir", type=str, default="runs")
+    p.add_argument("--restore_from", type=str, default=None,
+                   help="checkpoint dir to resume from (replaces the "
+                        "reference's hardcoded paths, rovr.py:38-42)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--debug_short_dataset", action="store_true",
+                   help="truncate the dataset to 10 items "
+                        "(video_ds_explicit.py:33-34)")
+
+
+def _apply_base(cfg: Config, args) -> Config:
+    data = dataclasses.replace(
+        cfg.data,
+        root_folder=args.root_folder or cfg.data.root_folder,
+        debug_short_dataset=args.debug_short_dataset,
+    )
+    run = dataclasses.replace(
+        cfg.run, run_dir=args.run_dir, restore_from=args.restore_from,
+        seed=args.seed,
+    )
+    return cfg.replace(data=data, run=run)
+
+
+def _dataset(cfg: Config, args, explicit: bool = True):
+    """Folder dataset when --root_folder exists on disk, else synthetic."""
+    import os
+
+    from rovr_tpu.data.dataset import (
+        ExplicitVideoDataset,
+        SyntheticExplicitDataset,
+        VideoFolderDataset,
+    )
+
+    if args.root_folder and os.path.isdir(args.root_folder):
+        ds = ExplicitVideoDataset if explicit else VideoFolderDataset
+        return ds(cfg.data, seed=cfg.run.seed)
+    return SyntheticExplicitDataset(cfg.data, seed=cfg.run.seed)
+
+
+def cmd_rl(argv: List[str]) -> int:
+    """RL training (the reference's `python test.py`, test.py:12-16)."""
+    p = argparse.ArgumentParser("rovr_tpu rl")
+    p.add_argument("--vid_length", type=int, default=20)
+    p.add_argument("--time_steps", type=int, default=20)
+    p.add_argument("--n_updates_per_ppo", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="clips per step (reference pinned to 1, test.py:18)")
+    p.add_argument("--use_policy1", action="store_true",
+                   help="revive the frame-selection policy + LSTM path")
+    p.add_argument("--iterations", type=int, default=400,
+                   help="hard stop (test.py:75-76)")
+    _base_parser(p)
+    args = p.parse_args(argv)
+
+    cfg = _apply_base(Config(), args)
+    cfg = cfg.replace(
+        rl=dataclasses.replace(
+            cfg.rl,
+            vid_length=args.vid_length,
+            time_steps=args.time_steps,
+            n_updates_per_ppo=args.n_updates_per_ppo,
+            batch_size=args.batch_size,
+            use_policy1=args.use_policy1,
+        ),
+        data=dataclasses.replace(cfg.data, vid_length=args.vid_length),
+    )
+
+    from rovr_tpu.train import rl
+
+    def log(i, m):
+        print(f"[rl {i}] " + " ".join(f"{k}={float(v):.4f}" for k, v in m.items()))
+
+    rl.run(cfg, dataset=_dataset(cfg, args), iterations=args.iterations, log_cb=log)
+    return 0
+
+
+def cmd_pretrain(argv: List[str]) -> int:
+    """Local-net UNet pretraining (train_local_net_unet.py)."""
+    p = argparse.ArgumentParser("rovr_tpu pretrain")
+    p.add_argument("--steps", type=int, default=10_000)
+    p.add_argument("--batch_size", type=int, default=24)
+    p.add_argument("--lr", type=float, default=1e-4)
+    _base_parser(p)
+    args = p.parse_args(argv)
+    cfg = _apply_base(Config(), args)
+    cfg = cfg.replace(
+        pretrain=dataclasses.replace(
+            cfg.pretrain, steps=args.steps, batch_size=args.batch_size, lr=args.lr
+        )
+    )
+
+    from rovr_tpu.train import pretrain_local
+
+    def log(i, m):
+        print(f"[pretrain {i}] " + " ".join(f"{k}={float(v):.4f}" for k, v in m.items()))
+
+    pretrain_local.run(cfg, steps=args.steps, log_cb=log)
+    return 0
+
+
+def cmd_imitate(argv: List[str]) -> int:
+    """Imitation warm start of π₂ (imitation_learning.py)."""
+    p = argparse.ArgumentParser("rovr_tpu imitate")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=2e-4)
+    _base_parser(p)
+    args = p.parse_args(argv)
+    cfg = _apply_base(Config(), args)
+    cfg = cfg.replace(
+        imitation=dataclasses.replace(cfg.imitation, steps=args.steps, lr=args.lr)
+    )
+
+    from rovr_tpu.train import imitation
+
+    def log(i, m):
+        print(f"[imitate {i}] " + " ".join(f"{k}={float(v):.4f}" for k, v in m.items()))
+
+    imitation.run(cfg, dataset=_dataset(cfg, args), steps=args.steps, log_cb=log)
+    return 0
+
+
+def cmd_eval(argv: List[str]) -> int:
+    """Reconstruction eval: agentic vs sequential flow recovery (the poster's
+    headline metric, BASELINE.md)."""
+    p = argparse.ArgumentParser("rovr_tpu eval")
+    p.add_argument("--num_videos", type=int, default=20,
+                   help="rollouts to average (poster uses 20)")
+    p.add_argument("--vid_length", type=int, default=20)
+    p.add_argument("--flow_size", type=int, default=256)
+    _base_parser(p)
+    args = p.parse_args(argv)
+    cfg = _apply_base(Config(), args)
+    cfg = cfg.replace(
+        rl=dataclasses.replace(
+            cfg.rl, vid_length=args.vid_length, time_steps=args.vid_length
+        ),
+        data=dataclasses.replace(cfg.data, vid_length=args.vid_length),
+    )
+
+    from rovr_tpu.train import evaluate
+
+    means = evaluate.run(
+        cfg, dataset=_dataset(cfg, args), num_videos=args.num_videos,
+        flow_size=args.flow_size,
+    )
+    for k, v in sorted(means.items()):
+        print(f"{k}: {v:.4f}")
+    return 0
+
+
+COMMANDS = {
+    "rl": cmd_rl,
+    "pretrain": cmd_pretrain,
+    "imitate": cmd_imitate,
+    "eval": cmd_eval,
+}
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: python -m rovr_tpu {" + ",".join(COMMANDS) + "} [flags]")
+        print(__doc__)
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"unknown command: {cmd}; choose from {list(COMMANDS)}")
+        return 2
+    return COMMANDS[cmd](argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

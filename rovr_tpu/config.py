@@ -63,6 +63,13 @@ class ModelConfig:
     feature_dim: int = 1024
     # ActionLSTM (action_lstm.py:13-17)
     lstm_hidden_dim: int = 1024
+    # Attention context policy (models/policy_attention.py) — the revived
+    # ViT policy for long clips (BASELINE.json config 5); used when
+    # rl.context_policy == "attention".
+    attn_hidden_dim: int = 256
+    attn_heads: int = 4
+    attn_depth: int = 2
+    attn_patch_tokens: int = 4
     # Compute dtype for conv/matmul-heavy paths. Params stay float32.
     compute_dtype: str = "bfloat16"
 
@@ -74,6 +81,17 @@ class RLConfig:
     vid_length: int = 20
     time_steps: int = 20
     n_updates_per_ppo: int = 5
+    # Clips per train step. The reference is pinned to 1 (test.py:18); batching
+    # clips is the first TPU win (MXU utilization) and the unit of data
+    # parallelism for config 5.
+    batch_size: int = 1
+    # Revive the frame-selection policy π₁ + ActionLSTM history path (disabled
+    # in the reference's shipped main path, rovr.py:118-128: target = j).
+    use_policy1: bool = False
+    # Context-selection policy implementation: "canvas" = PolicyNet2 over the
+    # state canvas (the reference's main path), "attention" = the revived
+    # transformer policy over per-frame feature tokens (config 5 long clips).
+    context_policy: str = "canvas"
     clip: float = 0.2
     gamma: float = 1.0
     actor_lr: float = 2e-4
@@ -177,10 +195,25 @@ def config_rl(vid_length: int = 16) -> Config:
     return c.replace(
         rl=dataclasses.replace(c.rl, vid_length=vid_length, time_steps=vid_length),
         data=dataclasses.replace(c.data, vid_length=vid_length),
+        model=dataclasses.replace(
+            c.model, pn2_num_frames=vid_length, pn1_num_frames=vid_length
+        ),
     )
 
 
 def config_rl_scaled(vid_length: int = 64, data_parallel: int = 8) -> Config:
-    """5: long-horizon batched rollouts, multi-clip RL on a v5e-8 mesh."""
+    """5: long-horizon batched rollouts on a v5e-8 mesh — clip batch sharded
+    on `data`, the attention context policy over frame-patch tokens."""
     c = config_rl(vid_length)
-    return c.replace(mesh=dataclasses.replace(c.mesh, data_parallel=data_parallel))
+    tiles_per_row = 8  # room for 64 frames on the canvas
+    return c.replace(
+        mesh=dataclasses.replace(c.mesh, data_parallel=data_parallel),
+        rl=dataclasses.replace(
+            c.rl, context_policy="attention", batch_size=data_parallel
+        ),
+        model=dataclasses.replace(
+            c.model,
+            canvas_tiles_per_row=tiles_per_row,
+            canvas_size=tiles_per_row * c.model.canvas_tile,
+        ),
+    )

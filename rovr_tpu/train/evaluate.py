@@ -1,0 +1,135 @@
+"""Workload 2: reconstruction evaluation — agentic vs sequential sampling.
+
+Parity target: the poster's "Global Network Results" headline metric
+O = (φ(Γ(X̄)) − φ(X)) / (φ(X̄) − φ(X)) with φ = RAFT flow magnitude —
+47.8% for sequential (vid2vid-style) sampling, 65.4% for ROVR agentic
+sampling (BASELINE.md). The metric helper in the reference is
+rovr/test.py:43-57 (`calculate_preservation`, unused but shipped) and the
+flow bookkeeping is rovr/rovr.py:96-97,223-241.
+
+TPU-native: the policy rollout reuses train/rl.rollout (one lax.scan, no
+PPO), RAFT is instantiated ONCE (the reference re-instantiates the
+pretrained model on every call, rovr.py:341-342), and all S-1 frame pairs of
+all videos run as one batched RAFT call. PSNR/SSIM parity numbers ride along
+from ops/metrics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rovr_tpu.config import Config
+from rovr_tpu.models.raft import RAFTSmall, pairwise_flows, total_flow_magnitude
+from rovr_tpu.ops.metrics import flow_recovery, psnr, ssim
+from rovr_tpu.train import rl
+
+
+class EvalModules(NamedTuple):
+    rovr: rl.ROVRModules
+    raft: RAFTSmall
+
+
+def make_modules(cfg: Config, dtype=None, raft_iters: int = 12) -> EvalModules:
+    return EvalModules(
+        rovr=rl.make_modules(cfg, dtype=dtype),
+        raft=RAFTSmall(iters=raft_iters, dtype=dtype or jnp.bfloat16),
+    )
+
+
+def init_raft_params(mods: EvalModules, rng, size: int = 64):
+    x = jnp.zeros((1, size, size, 3))
+    return mods.raft.init(rng, x, x)["params"]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 5))
+def eval_step(
+    state: rl.ROVRState,
+    raft_params,
+    mods: EvalModules,
+    cfg: Config,
+    batch,
+    flow_size: int = 256,
+) -> Dict[str, jnp.ndarray]:
+    """One fully-jitted eval pass over a clip batch.
+
+    batch = (corrupted, original) (B, S, H, W, 3). Returns the flow-recovery
+    metric O for agentic and sequential sampling plus PSNR/SSIM/LPIPS.
+    """
+    video, org_video = batch
+    out = rl.rollout(
+        state, mods.rovr, cfg, video, org_video, jax.random.PRNGKey(cfg.run.seed)
+    )
+
+    def phi(v):
+        flows = pairwise_flows(mods.raft, raft_params, v, size=flow_size)
+        total, _ = total_flow_magnitude(flows)
+        return total
+
+    f_org = phi(org_video)
+    f_bad = phi(video)
+    f_agentic = phi(out.reconstructed)
+    f_seq = phi(out.experimental)
+
+    lp = rl.per_frame_lpips(
+        mods.rovr, state.lpips_params, out.reconstructed, org_video
+    )
+    return {
+        "Eval/flow_recovery_agentic": jnp.mean(flow_recovery(f_agentic, f_org, f_bad)),
+        "Eval/flow_recovery_sequential": jnp.mean(flow_recovery(f_seq, f_org, f_bad)),
+        "Eval/psnr_agentic": jnp.mean(psnr(out.reconstructed, org_video)),
+        "Eval/psnr_sequential": jnp.mean(psnr(out.experimental, org_video)),
+        "Eval/psnr_corrupted": jnp.mean(psnr(video, org_video)),
+        "Eval/ssim_agentic": jnp.mean(ssim(out.reconstructed, org_video)),
+        "Eval/ssim_sequential": jnp.mean(ssim(out.experimental, org_video)),
+        "Eval/lpips_agentic": jnp.mean(lp),
+    }
+
+
+def run(
+    cfg: Optional[Config] = None,
+    dataset=None,
+    num_videos: int = 20,
+    state: Optional[rl.ROVRState] = None,
+    flow_size: int = 256,
+    log_cb=None,
+) -> Dict[str, float]:
+    """Evaluation driver: averages eval_step over `num_videos` rollouts
+    (the poster averages over 20 rollouts, BASELINE.md)."""
+    import numpy as np
+
+    from rovr_tpu.data.dataset import SyntheticExplicitDataset
+    from rovr_tpu.utils.logging import MetricsWriter
+    from rovr_tpu.utils.checkpoint import run_dir
+
+    cfg = cfg or Config()
+    rng = jax.random.PRNGKey(cfg.run.seed)
+    mods = make_modules(cfg)
+    if state is None:
+        state = rl.init_state(cfg, mods.rovr, rng)
+    raft_params = init_raft_params(mods, rng, size=flow_size)
+    dataset = dataset or SyntheticExplicitDataset(cfg.data, seed=cfg.run.seed)
+
+    path = run_dir(cfg.run.run_dir, "eval")
+    writer = MetricsWriter(path)
+    totals: Dict[str, float] = {}
+    b = cfg.rl.batch_size
+    n_steps = max(1, num_videos // b)
+    for i in range(n_steps):
+        items = [dataset[(i * b + j) % len(dataset)] for j in range(b)]
+        video = jnp.asarray(np.stack([it[0] for it in items]))
+        org = jnp.asarray(np.stack([it[1] for it in items]))
+        metrics = eval_step(
+            state, raft_params, mods, cfg, (video, org), flow_size
+        )
+        for k, v in metrics.items():
+            totals[k] = totals.get(k, 0.0) + float(v)
+        if log_cb:
+            log_cb(i, metrics)
+    means = {k: v / n_steps for k, v in totals.items()}
+    writer.scalars(means, 0)
+    writer.close()
+    return means

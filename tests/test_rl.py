@@ -1,0 +1,188 @@
+"""RL orchestrator tests: rollout semantics, PPO update, full jitted step.
+
+The reference has no tests (SURVEY.md §4); these pin the rebuilt semantics of
+ROVR.forward/ppo (reference: rovr/rovr.py:81-337) on tiny shapes.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rovr_tpu.config import Config
+from rovr_tpu.ops.rewards import rewards_to_go
+from rovr_tpu.train import rl
+
+DT = jnp.float32
+
+
+def tiny_config(use_policy1: bool = False, context_policy: str = "canvas") -> Config:
+    c = Config()
+    return c.replace(
+        data=dataclasses.replace(c.data, frame_size=(32, 32), vid_length=4),
+        model=dataclasses.replace(
+            c.model,
+            pn2_num_frames=4,
+            pn1_num_frames=4,
+            canvas_size=64,
+            canvas_tile=32,
+            canvas_tiles_per_row=2,
+            lstm_hidden_dim=32,
+            attn_hidden_dim=32,
+            attn_heads=2,
+            attn_depth=1,
+            attn_patch_tokens=2,
+        ),
+        rl=dataclasses.replace(
+            c.rl, vid_length=4, time_steps=3, n_updates_per_ppo=2,
+            batch_size=2, use_policy1=use_policy1,
+            context_policy=context_policy,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    mods = rl.make_modules(cfg, dtype=DT)
+    state = rl.init_state(cfg, mods, jax.random.PRNGKey(0))
+    h, w = cfg.data.frame_size
+    s = cfg.rl.vid_length
+    key = jax.random.PRNGKey(1)
+    org = jax.random.uniform(key, (2, s, h, w, 3))
+    video = jnp.clip(org + 0.1 * jax.random.normal(key, org.shape), 0, 1)
+    return cfg, mods, state, video, org
+
+
+class TestRollout:
+    def test_shapes(self, setup):
+        cfg, mods, state, video, org = setup
+        out = rl.rollout(state, mods, cfg, video, org, jax.random.PRNGKey(2))
+        t, b, s = cfg.rl.time_steps, 2, cfg.rl.vid_length
+        canvas, target_feat = out.traj.obs
+        assert canvas.shape == (t, b, 64, 64, 1)
+        assert target_feat.shape == (t, b, 1024)
+        assert out.traj.actions.shape == (t, b, 2)
+        assert out.traj.logprobs.shape == (t, b)
+        assert out.traj.rtgs.shape == (t, b)
+        assert out.reconstructed.shape == video.shape
+        assert out.experimental.shape == video.shape
+
+    def test_sequential_targets(self, setup):
+        """Shipped main path: target_frame_index = t (rovr.py:129)."""
+        cfg, mods, state, video, org = setup
+        out = rl.rollout(state, mods, cfg, video, org, jax.random.PRNGKey(2))
+        expect = np.arange(cfg.rl.time_steps) % cfg.rl.vid_length
+        np.testing.assert_array_equal(
+            np.asarray(out.traj.target_idx), np.tile(expect[:, None], (1, 2))
+        )
+
+    def test_context_actions_in_range(self, setup):
+        """π₂ actions are valid frame indices. (The reference's mask only
+        ZEROES the target's logit before standardization, policy_net_2.py:
+        110-124 — a soft deterrent, not a hard ban, so self-selection is
+        possible and we don't assert against it.)"""
+        cfg, mods, state, video, org = setup
+        out = rl.rollout(state, mods, cfg, video, org, jax.random.PRNGKey(3))
+        acs = np.asarray(out.traj.actions)
+        assert np.all(acs >= 0) and np.all(acs < cfg.model.pn2_num_frames)
+
+    def test_reconstruction_written_back(self, setup):
+        """Each visited frame is replaced by the UNet output (rovr.py:196)."""
+        cfg, mods, state, video, org = setup
+        out = rl.rollout(state, mods, cfg, video, org, jax.random.PRNGKey(4))
+        recon = np.asarray(out.reconstructed)
+        # visited frames 0..t-1 differ from the corrupted input
+        for t in range(cfg.rl.time_steps):
+            assert not np.allclose(recon[:, t], np.asarray(video)[:, t])
+        # unvisited frame (index 3) untouched
+        np.testing.assert_allclose(recon[:, 3], np.asarray(video)[:, 3])
+
+    def test_rewards_to_go_matches_reference_math(self):
+        """Reverse discounted sum, gamma=1 (rovr.py:268-278)."""
+        r = jnp.asarray([[1.0], [2.0], [3.0]])
+        np.testing.assert_allclose(
+            np.asarray(rewards_to_go(r, 1.0)), [[6.0], [5.0], [3.0]]
+        )
+
+    def test_attention_policy_path(self):
+        """Config-5 attention context policy: rollout + PPO end to end."""
+        cfg = tiny_config(context_policy="attention")
+        mods = rl.make_modules(cfg, dtype=DT)
+        state = rl.init_state(cfg, mods, jax.random.PRNGKey(0))
+        h, w = cfg.data.frame_size
+        key = jax.random.PRNGKey(11)
+        org = jax.random.uniform(key, (2, 4, h, w, 3))
+        video = jnp.clip(org + 0.1, 0, 1)
+        out = rl.rollout(state, mods, cfg, video, org, key)
+        (feats,) = out.traj.obs
+        assert feats.shape == (cfg.rl.time_steps, 2, 4, 1024)
+        new_state, metrics = rl.ppo_update(
+            state, mods, cfg, out.traj, jax.random.PRNGKey(12)
+        )
+        for v in metrics.values():
+            assert np.isfinite(float(v))
+
+    def test_policy1_path(self):
+        """Revived π₁+LSTM path traces and returns valid frame indices."""
+        cfg = tiny_config(use_policy1=True)
+        mods = rl.make_modules(cfg, dtype=DT)
+        state = rl.init_state(cfg, mods, jax.random.PRNGKey(0))
+        h, w = cfg.data.frame_size
+        key = jax.random.PRNGKey(5)
+        org = jax.random.uniform(key, (1, 4, h, w, 3))
+        out = rl.rollout(state, mods, cfg, org, org, key)
+        tgt = np.asarray(out.traj.target_idx)
+        assert np.all(tgt >= 0) and np.all(tgt < 4)
+
+
+class TestPPO:
+    def test_update_changes_params_and_returns_losses(self, setup):
+        cfg, mods, state, video, org = setup
+        out = rl.rollout(state, mods, cfg, video, org, jax.random.PRNGKey(6))
+        new_state, metrics = rl.ppo_update(
+            state, mods, cfg, out.traj, jax.random.PRNGKey(7)
+        )
+        assert "PPO/actor_loss" in metrics and "PPO/critic_loss" in metrics
+        # some actor2 leaf must have moved (a conv bias preceding a
+        # BatchStatNorm legitimately has zero gradient, so check globally)
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.sum(jnp.abs(a - b))),
+            state.actor2_params, new_state.actor2_params,
+        )
+        assert sum(jax.tree_util.tree_leaves(diffs)) > 0.0
+        # frozen components untouched
+        l0 = jax.tree_util.tree_leaves(state.local_net_params)[0]
+        l1 = jax.tree_util.tree_leaves(new_state.local_net_params)[0]
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+    def test_full_train_step_jits(self, setup):
+        cfg, mods, state, video, org = setup
+        new_state, metrics, recon = rl.train_step(
+            state, mods, cfg, video, org, jax.random.PRNGKey(8)
+        )
+        assert int(new_state.step) == int(state.step) + 1
+        assert recon.shape == video.shape
+        for v in metrics.values():
+            assert np.isfinite(float(v))
+
+
+class TestShardedStep:
+    def test_data_parallel_mesh(self, setup):
+        """The same step jits over an 8-device CPU mesh with the clip batch
+        sharded on `data` (SURVEY.md §2.14 rebuild column)."""
+        from rovr_tpu.parallel.mesh import make_mesh
+
+        cfg, mods, state, video, org = setup
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+        step = rl.make_sharded_train_step(mesh, mods, cfg)
+        # batch of 8 clips, one per device
+        v8 = jnp.tile(video[:1], (8, 1, 1, 1, 1))
+        o8 = jnp.tile(org[:1], (8, 1, 1, 1, 1))
+        new_state, metrics, _ = step(state, v8, o8, jax.random.PRNGKey(9))
+        assert int(new_state.step) == 1
+        for v in metrics.values():
+            assert np.isfinite(float(v))

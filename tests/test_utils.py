@@ -1,0 +1,105 @@
+"""Checkpoint round-trip, metrics writer, native loader, and CLI surface."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from flax import struct
+
+        from rovr_tpu.utils.checkpoint import CheckpointManager
+
+        class S(struct.PyTreeNode):
+            step: jnp.ndarray
+            w: jnp.ndarray
+
+        state = S(step=jnp.int32(3), w=jnp.arange(4, dtype=jnp.float32))
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), every=1)
+        assert mgr.save(0, state)
+        mgr.wait()
+        restored = mgr.restore(template=S(step=jnp.int32(0), w=jnp.zeros(4)))
+        assert int(restored.step) == 3
+        np.testing.assert_array_equal(np.asarray(restored.w), [0, 1, 2, 3])
+        mgr.close()
+
+    def test_cadence_gating(self, tmp_path):
+        from rovr_tpu.utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(str(tmp_path / "c2"), every=5)
+        assert not mgr.save(3, {"a": jnp.zeros(1)})
+        assert mgr.save(5, {"a": jnp.zeros(1)})
+        mgr.wait()
+        mgr.close()
+
+
+class TestMetricsWriter:
+    def test_jsonl_output(self, tmp_path):
+        from rovr_tpu.utils.logging import MetricsWriter
+
+        w = MetricsWriter(str(tmp_path), use_tensorboard=False)
+        w.scalars({"Loss/total": 1.5, "Loss/mse": 0.5}, step=7)
+        w.text("note", "hello", step=7)
+        w.close()
+        lines = [
+            json.loads(line)
+            for line in open(tmp_path / "metrics.jsonl").read().splitlines()
+        ]
+        assert {ln["tag"] for ln in lines} == {"Loss/total", "Loss/mse", "note"}
+        assert all(ln["step"] == 7 for ln in lines)
+
+
+class TestNativeLoader:
+    def test_decode_parity_with_cv2(self, tmp_path):
+        from rovr_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("native library not built (run make -C native)")
+        import cv2
+
+        img = (np.random.default_rng(0).random((600, 800, 3)) * 255).astype(
+            np.uint8
+        )
+        p = str(tmp_path / "f.png")
+        cv2.imwrite(p, img)
+        out = native_loader.decode_half(p, (128, 128), 1)
+        frame = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+        frame = cv2.resize(frame, (1024, 512))
+        ref = cv2.resize(np.split(frame, 2, axis=1)[1], (128, 128))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_clip_decode_threads(self, tmp_path):
+        from rovr_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("native library not built")
+        import cv2
+
+        paths = []
+        for i in range(4):
+            img = np.full((64, 64, 3), i * 10, np.uint8)
+            p = str(tmp_path / f"{i}.png")
+            cv2.imwrite(p, img)
+            paths.append(p)
+        clip = native_loader.decode_clip(paths, (32, 32), 0, threads=2)
+        assert clip.shape == (4, 32, 32, 3)
+        for i in range(4):
+            assert np.all(clip[i] == i * 10)
+
+
+class TestCLI:
+    def test_help_and_unknown(self, capsys):
+        from rovr_tpu.cli import main
+
+        assert main([]) == 0
+        assert main(["bogus"]) == 2
+
+    def test_subcommand_parsers_exist(self):
+        from rovr_tpu.cli import COMMANDS
+
+        assert set(COMMANDS) == {"rl", "pretrain", "imitate", "eval"}
