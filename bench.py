@@ -34,6 +34,10 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from rovr_tpu.utils.compilation_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
     from rovr_tpu.config import Config
     from rovr_tpu.data import synthetic
     from rovr_tpu.train import rl

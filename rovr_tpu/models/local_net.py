@@ -14,7 +14,7 @@ Input is the target frame plus 2 context frames stacked on channels:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -61,3 +61,33 @@ class LocalNetUNet(nn.Module):
         # 1x1 head + sigmoid (local_net.py:71)
         out = conv(3, 1, "conv8")(y)
         return nn.sigmoid(out.astype(jnp.float32))
+
+
+def convert_torch_state_dict(state_dict: Dict[str, "object"]) -> Dict:
+    """Map a reference LocalNetworkUNetNorm checkpoint to this param pytree.
+
+    The reference's module names (conv1..conv8, upconv1..3,
+    local_net.py:12-39) are kept verbatim here, so migration is a key-for-key
+    transpose: Conv2d OIHW -> HWIO; ConvTranspose2d IOHW -> HWIO with a
+    spatial flip (flax ConvTranspose correlates the un-flipped kernel).
+    The reference's BatchNorm parameters are dead (never applied in forward,
+    local_net.py:52-71) and are dropped.
+    """
+    import numpy as np
+
+    params: Dict[str, Any] = {}
+    for i in range(1, 9):
+        w = np.asarray(state_dict[f"conv{i}.weight"])
+        params[f"conv{i}"] = {
+            "kernel": w.transpose(2, 3, 1, 0),
+            "bias": np.asarray(state_dict[f"conv{i}.bias"]),
+        }
+    for i in range(1, 4):
+        w = np.asarray(state_dict[f"upconv{i}.weight"])  # (in, out, kh, kw)
+        params[f"upconv{i}"] = {
+            "kernel": np.ascontiguousarray(
+                w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+            ),
+            "bias": np.asarray(state_dict[f"upconv{i}.bias"]),
+        }
+    return params

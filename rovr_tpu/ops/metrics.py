@@ -48,6 +48,10 @@ def ssim(
 
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
+    # accept any leading batch axes: (..., H, W, C) -> (N, H, W, C)
+    lead = x.shape[:-3]
+    x = x.reshape((-1,) + x.shape[-3:])
+    y = y.reshape((-1,) + y.shape[-3:])
     mu_x, mu_y = blur(x), blur(y)
     mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
     sx = blur(x * x) - mu_x2
@@ -56,7 +60,7 @@ def ssim(
     c1 = (k1 * max_val) ** 2
     c2 = (k2 * max_val) ** 2
     s = ((2 * mu_xy + c1) * (2 * sxy + c2)) / ((mu_x2 + mu_y2 + c1) * (sx + sy + c2))
-    return jnp.mean(s, axis=(-3, -2, -1))
+    return jnp.mean(s, axis=(-3, -2, -1)).reshape(lead)
 
 
 def preservation(org_values: jnp.ndarray, computed_values: jnp.ndarray) -> jnp.ndarray:

@@ -40,6 +40,7 @@ def make_modules(cfg: Config, dtype=None, raft_iters: int = 12) -> EvalModules:
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
 def init_raft_params(mods: EvalModules, rng, size: int = 64):
     x = jnp.zeros((1, size, size, 3))
     return mods.raft.init(rng, x, x)["params"]
@@ -102,9 +103,11 @@ def run(
     import numpy as np
 
     from rovr_tpu.data.dataset import SyntheticExplicitDataset
+    from rovr_tpu.utils.compilation_cache import enable as enable_compile_cache
     from rovr_tpu.utils.logging import MetricsWriter
     from rovr_tpu.utils.checkpoint import run_dir
 
+    enable_compile_cache()
     cfg = cfg or Config()
     rng = jax.random.PRNGKey(cfg.run.seed)
     mods = make_modules(cfg)
@@ -118,10 +121,18 @@ def run(
     totals: Dict[str, float] = {}
     b = cfg.rl.batch_size
     n_steps = max(1, num_videos // b)
+    s = cfg.rl.vid_length
     for i in range(n_steps):
         items = [dataset[(i * b + j) % len(dataset)] for j in range(b)]
-        video = jnp.asarray(np.stack([it[0] for it in items]))
-        org = jnp.asarray(np.stack([it[1] for it in items]))
+        # slice to the configured horizon (the explicit dataset is pinned to
+        # 20 frames, video_ds_explicit.py:18)
+        video = jnp.asarray(np.stack([it[0][:s] for it in items]))
+        org = jnp.asarray(np.stack([it[1][:s] for it in items]))
+        if video.shape[1] != s:
+            raise ValueError(
+                f"dataset clips have {video.shape[1]} frames; "
+                f"cfg.rl.vid_length={s} requires at least that many"
+            )
         metrics = eval_step(
             state, raft_params, mods, cfg, (video, org), flow_size
         )

@@ -60,7 +60,10 @@ def make_modules(cfg: Config, dtype=None) -> ImitationModules:
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def init_state(cfg: Config, mods: ImitationModules, rng) -> ImitationState:
+    """Jitted (cfg/mods static) — eager flax init is pathologically slow
+    over the axon TPU tunnel (per-op dispatch)."""
     s = cfg.model.pn2_num_frames
     k1, k2, k3 = jax.random.split(rng, 3)
     frames = jnp.zeros((1, s, 224, 224, 3))
@@ -129,11 +132,22 @@ def imitation_loss(
         method=PolicyNet2.masked_logits,
     )
     n = mods.pn2.num_frames
-    loss = jnp.float32(0.0)
-    for i in range(positives.shape[1]):
-        loss = loss + bce_with_logits(logits, multi_hot(positives[:, i], n)) * pos_w
-    for i in range(negatives.shape[1]):
-        loss = loss - bce_with_logits(logits, multi_hot(negatives[:, i], n)) * neg_w
+    # Vectorized over the pair axis: sum_i BCE(logits, multihot(pairs[:, i]))
+    # equals one broadcasted elementwise BCE reduced per-pair then summed —
+    # the same math as the reference's Python loop (imitation_learning.py:88-94)
+    # in a single fused graph.
+    log_p = jax.nn.log_sigmoid(logits)          # (S, n)
+    log_not_p = jax.nn.log_sigmoid(-logits)     # (S, n)
+
+    def pair_sum_bce(pairs: jnp.ndarray) -> jnp.ndarray:
+        """pairs (S, K, 2) -> sum over K of mean-over-(S,n) BCE."""
+        t = jax.nn.one_hot(pairs[..., 0], n) + jax.nn.one_hot(pairs[..., 1], n)
+        per_pair = -jnp.mean(
+            t * log_p[:, None, :] + (1.0 - t) * log_not_p[:, None, :], axis=(0, 2)
+        )
+        return jnp.sum(per_pair)
+
+    loss = pair_sum_bce(positives) * pos_w - pair_sum_bce(negatives) * neg_w
     return loss, {"Loss/expert_loss": loss}
 
 
@@ -157,8 +171,10 @@ def run(cfg: Optional[Config] = None, dataset=None, steps: Optional[int] = None,
     Orbax checkpoints every cfg.imitation.checkpoint_every."""
     from rovr_tpu.data.dataset import SyntheticExplicitDataset
     from rovr_tpu.utils.checkpoint import CheckpointManager, run_dir
+    from rovr_tpu.utils.compilation_cache import enable as enable_compile_cache
     from rovr_tpu.utils.logging import MetricsWriter
 
+    enable_compile_cache()
     cfg = cfg or Config()
     steps = steps if steps is not None else cfg.imitation.steps
     rng = jax.random.PRNGKey(cfg.run.seed)

@@ -57,7 +57,10 @@ def make_modules(cfg: Config, dtype=None) -> PretrainModules:
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def init_state(cfg: Config, mods: PretrainModules, rng) -> PretrainState:
+    """Jitted (cfg/mods static) — eager flax init is pathologically slow
+    over the axon TPU tunnel (per-op dispatch)."""
     h, w = cfg.data.frame_size
     k1, k2 = jax.random.split(rng)
     target = jnp.zeros((1, h, w, 3))
@@ -144,8 +147,10 @@ def run(cfg: Optional[Config] = None, data=None, steps: Optional[int] = None,
 
     from rovr_tpu.data import synthetic
     from rovr_tpu.utils.checkpoint import CheckpointManager, run_dir
+    from rovr_tpu.utils.compilation_cache import enable as enable_compile_cache
     from rovr_tpu.utils.logging import MetricsWriter
 
+    enable_compile_cache()
     cfg = cfg or Config()
     steps = steps if steps is not None else cfg.pretrain.steps
     rng = jax.random.PRNGKey(cfg.run.seed)

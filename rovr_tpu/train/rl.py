@@ -162,6 +162,7 @@ def make_modules(cfg: Config, dtype=None) -> ROVRModules:
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def init_state(
     cfg: Config,
     mods: ROVRModules,
@@ -171,7 +172,12 @@ def init_state(
     actor2_params=None,
 ) -> ROVRState:
     """Fresh state; pretrained/warm-started params plug in by argument
-    (replaces the reference's hardcoded checkpoint paths, rovr.py:38-42)."""
+    (replaces the reference's hardcoded checkpoint paths, rovr.py:38-42).
+
+    Jitted with cfg/mods static: eager flax init dispatches hundreds of tiny
+    ops, which is pathological over the axon TPU tunnel (~150 s observed);
+    one compiled graph initializes in well under a second.
+    """
     m = cfg.model
     h, w = cfg.data.frame_size
     s = m.pn2_num_frames
@@ -560,8 +566,10 @@ def run(
 
     from rovr_tpu.data.dataset import SyntheticExplicitDataset
     from rovr_tpu.utils.checkpoint import CheckpointManager, run_dir
+    from rovr_tpu.utils.compilation_cache import enable as enable_compile_cache
     from rovr_tpu.utils.logging import MetricsWriter
 
+    enable_compile_cache()
     cfg = cfg or Config()
     iterations = iterations if iterations is not None else cfg.run.max_iterations
     rng = jax.random.PRNGKey(cfg.run.seed)
@@ -591,10 +599,19 @@ def run(
     )
     it = iter(prefetcher)
     try:
+        s = cfg.rl.vid_length
         for i in range(iterations):
             items = [next(it) for _ in range(b)]
-            video = jnp.asarray(np.stack([x[0] for x in items]))
-            org = jnp.asarray(np.stack([x[1] for x in items]))
+            # datasets may yield longer clips (the explicit teacher scheme is
+            # pinned to 20 frames, video_ds_explicit.py:18); train on the
+            # configured horizon
+            video = jnp.asarray(np.stack([x[0][:s] for x in items]))
+            org = jnp.asarray(np.stack([x[1][:s] for x in items]))
+            if video.shape[1] != s:
+                raise ValueError(
+                    f"dataset clips have {video.shape[1]} frames; "
+                    f"cfg.rl.vid_length={s} requires at least that many"
+                )
             rng, step_key = jax.random.split(rng)
             state, metrics, _ = train_step(state, mods, cfg, video, org, step_key)
             if i % cfg.run.log_every == 0:

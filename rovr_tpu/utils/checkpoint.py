@@ -41,7 +41,13 @@ class CheckpointManager:
     def save(self, step: int, state: Any, force: bool = False) -> bool:
         if not force and step % self.every != 0:
             return False
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        # Pull the state to host in parallel <=4MB chunks first: Orbax's own
+        # device streaming is pathological over the axon tunnel (utils/
+        # transfer.py; 416 s -> ~10 s for a 163 MB state). The disk write
+        # stays async under the CheckpointManager.
+        from rovr_tpu.utils.transfer import chunked_device_get
+
+        self._mgr.save(step, args=ocp.args.StandardSave(chunked_device_get(state)))
         return True
 
     def restore(self, step: Optional[int] = None, template: Any = None) -> Any:

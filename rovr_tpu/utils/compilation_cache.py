@@ -1,0 +1,41 @@
+"""Persistent XLA compilation cache.
+
+The flagship graphs (RL train step, 256x256 UNet + LPIPS pretrain step,
+ResNet-50 imitation step) take minutes to compile cold; with the persistent
+cache a re-run of the same config loads the compiled executable in seconds.
+The reference has no analog (eager PyTorch). Enabled by every entry point
+(cli, bench, __graft_entry__, train.run drivers); set ROVR_NO_COMPILE_CACHE=1
+to disable, ROVR_COMPILE_CACHE_DIR to relocate.
+"""
+
+from __future__ import annotations
+
+import os
+
+_enabled = False
+
+
+def enable(cache_dir: str | None = None) -> None:
+    """Idempotently turn on JAX's persistent compilation cache."""
+    global _enabled
+    if _enabled or os.environ.get("ROVR_NO_COMPILE_CACHE") == "1":
+        return
+    import jax
+
+    # TPU executables are host-independent; CPU AOT results bake in machine
+    # features and can SIGILL when the compiling and executing hosts differ
+    # (observed with the axon tunnel), so only cache for accelerators.
+    if jax.default_backend() == "cpu":
+        return
+
+    path = (
+        cache_dir
+        or os.environ.get("ROVR_COMPILE_CACHE_DIR")
+        or os.path.expanduser("~/.cache/rovr_tpu/xla")
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Cache even executables whose compile was fast but whose trace is hot.
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _enabled = True

@@ -1,0 +1,224 @@
+"""Workload-level tests: pretrain, imitation, evaluate.
+
+The reference ships no tests (SURVEY.md §4); these pin the rebuilt loss
+semantics of train_local_net_unet.py (gamma anneal, target indexing),
+imitation_learning.py (±BCE teacher loss), and the poster's flow-recovery
+evaluation on tiny shapes.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rovr_tpu.config import Config
+from rovr_tpu.train import imitation, pretrain_local
+
+DT = jnp.float32
+
+
+def tiny_config() -> Config:
+    c = Config()
+    return c.replace(
+        data=dataclasses.replace(c.data, frame_size=(32, 32), vid_length=4),
+        model=dataclasses.replace(
+            c.model,
+            local_net_channels=(4, 8, 16, 32),
+            pn2_num_frames=4,
+            pn1_num_frames=4,
+            pn2_fc_dims=(64, 32),
+            canvas_size=64,
+            canvas_tile=32,
+            canvas_tiles_per_row=2,
+            feature_dim=64,
+            lstm_hidden_dim=32,
+        ),
+        rl=dataclasses.replace(
+            c.rl, vid_length=4, time_steps=2, n_updates_per_ppo=1, batch_size=1
+        ),
+        pretrain=dataclasses.replace(c.pretrain, batch_size=2),
+    )
+
+
+class TestPretrain:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = tiny_config()
+        mods = pretrain_local.make_modules(cfg, dtype=DT)
+        state = pretrain_local.init_state(cfg, mods, jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(1)
+        video = jax.random.uniform(key, (2, 4, 32, 32, 3))
+        orig = jnp.clip(video + 0.05, 0, 1)
+        return cfg, mods, state, video, orig
+
+    def test_gamma_anneal_formula(self, setup):
+        """gamma = 0.1 + 0.9 * 0.9993^step (train_local_net_unet.py:109)."""
+        cfg, mods, state, video, orig = setup
+        batch = pretrain_local.sample_batch(
+            jax.random.PRNGKey(2), video, orig, 2
+        )
+        for step in (0, 100, 5000):
+            _, m = pretrain_local.loss_fn(
+                state.params, state.lpips_params, mods, batch,
+                jnp.asarray(step),
+            )
+            np.testing.assert_allclose(
+                float(m["Loss/gamma"]), 0.1 + 0.9 * 0.9993 ** step, rtol=1e-4
+            )
+            expected = float(m["Loss/mse_loss"]) * float(m["Loss/gamma"]) + float(
+                m["Loss/lpips_loss"]
+            ) * (1 - float(m["Loss/gamma"]))
+            np.testing.assert_allclose(
+                float(m["Loss/total_loss"]), expected, rtol=1e-4
+            )
+
+    def test_sample_batch_contexts_and_target(self, setup):
+        """Contexts are frames f-2, f-1; target defaults to frame f, and
+        legacy_target_offset reproduces the reference's f-1 off-by-one
+        (train_local_net_unet.py:44-52)."""
+        _, _, _, video, orig = setup
+        key = jax.random.PRNGKey(3)
+        img, ctx, tgt = pretrain_local.sample_batch(key, video, orig, 8)
+        img_l, ctx_l, tgt_l = pretrain_local.sample_batch(
+            key, video, orig, 8, legacy_target_offset=True
+        )
+        assert ctx.shape == (8, 2, 32, 32, 3)
+        # same key -> same (l, f) picks; legacy target differs from fixed one
+        np.testing.assert_array_equal(np.asarray(img), np.asarray(img_l))
+        assert not np.allclose(np.asarray(tgt), np.asarray(tgt_l))
+        # fixed target == the sampled frame itself in the original video:
+        # find each (l, f) by matching the corrupted frame, then check orig
+        v = np.asarray(video)
+        o = np.asarray(orig)
+        for b in range(8):
+            ls, fs = np.argwhere(
+                np.all(np.isclose(v, np.asarray(img)[b]), axis=(2, 3, 4))
+            )[0]
+            assert fs >= 2
+            np.testing.assert_allclose(np.asarray(tgt)[b], o[ls, fs])
+            np.testing.assert_allclose(np.asarray(ctx)[b, 0], v[ls, fs - 2])
+            np.testing.assert_allclose(np.asarray(ctx)[b, 1], v[ls, fs - 1])
+
+    def test_train_step_updates_params(self, setup):
+        cfg, mods, state, video, orig = setup
+        new_state, metrics = pretrain_local.train_step(
+            state, jax.random.PRNGKey(4), mods, (video, orig), 2
+        )
+        assert int(new_state.step) == int(state.step) + 1
+        assert all(np.isfinite(float(v)) for v in metrics.values())
+        leaves_before = jax.tree.leaves(state.params)
+        leaves_after = jax.tree.leaves(new_state.params)
+        assert any(
+            not np.allclose(a, b) for a, b in zip(leaves_before, leaves_after)
+        )
+
+
+class TestImitation:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = tiny_config()
+        mods = imitation.make_modules(cfg, dtype=DT)
+        state = imitation.init_state(cfg, mods, jax.random.PRNGKey(0))
+        s = cfg.model.pn2_num_frames
+        key = jax.random.PRNGKey(1)
+        video = jax.random.uniform(key, (s, 32, 32, 3))
+        kp, kn = jax.random.split(jax.random.PRNGKey(2))
+        positives = jax.random.randint(kp, (s, 5, 2), 0, s)
+        negatives = jax.random.randint(kn, (s, 2, 2), 0, s)
+        return cfg, mods, state, video, positives, negatives
+
+    def test_loss_matches_naive_loop(self, setup):
+        """The vectorized ±BCE equals the reference's per-pair Python loop
+        (imitation_learning.py:88-94)."""
+        cfg, mods, state, video, positives, negatives = setup
+        loss, _ = imitation.imitation_loss(
+            state.pn2_params, state.vp_params, mods, video, positives, negatives
+        )
+        # naive reference computation on the same logits
+        s = video.shape[0]
+        frames = imitation.preprocess_frames(video)
+        canvas, feats = mods.vp.apply({"params": state.vp_params}, frames)
+        canvas20 = jnp.broadcast_to(canvas[0][None], (s,) + canvas.shape[1:])
+        from rovr_tpu.models.policy_net_2 import PolicyNet2
+
+        logits = mods.pn2.apply(
+            {"params": state.pn2_params}, canvas20, feats[0], jnp.arange(s),
+            method=PolicyNet2.masked_logits,
+        )
+        n = mods.pn2.num_frames
+        naive = jnp.float32(0.0)
+        for i in range(positives.shape[1]):
+            naive = naive + imitation.bce_with_logits(
+                logits, imitation.multi_hot(positives[:, i], n)
+            ) * 1.5
+        for i in range(negatives.shape[1]):
+            naive = naive - imitation.bce_with_logits(
+                logits, imitation.multi_hot(negatives[:, i], n)
+            )
+        np.testing.assert_allclose(float(loss), float(naive), rtol=2e-5)
+
+    def test_train_step_updates_pn2_only(self, setup):
+        cfg, mods, state, video, positives, negatives = setup
+        new_state, metrics = imitation.train_step(
+            state, (video, positives, negatives), mods
+        )
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(metrics["Loss/expert_loss"]))
+        # pn2 trains
+        assert any(
+            not np.allclose(a, b)
+            for a, b in zip(
+                jax.tree.leaves(state.pn2_params),
+                jax.tree.leaves(new_state.pn2_params),
+            )
+        )
+        # VideoProcessor stays frozen during imitation (only pn2 is in the
+        # optimizer, imitation.py init_state)
+        for a, b in zip(
+            jax.tree.leaves(state.vp_params), jax.tree.leaves(new_state.vp_params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestEvaluate:
+    def test_eval_step_smoke(self):
+        """Tiny end-to-end eval: rollout + RAFT flow recovery + PSNR/SSIM."""
+        from rovr_tpu.train import evaluate, rl
+
+        cfg = tiny_config()
+        mods = evaluate.make_modules(cfg, dtype=DT, raft_iters=2)
+        rng = jax.random.PRNGKey(0)
+        state = rl.init_state(cfg, mods.rovr, rng)
+        raft_params = evaluate.init_raft_params(mods, rng, size=32)
+        key = jax.random.PRNGKey(1)
+        org = jax.random.uniform(key, (1, 4, 32, 32, 3))
+        video = jnp.clip(org + 0.1 * jax.random.normal(key, org.shape), 0, 1)
+        metrics = evaluate.eval_step(
+            state, raft_params, mods, cfg, (video, org), 32
+        )
+        for k in (
+            "Eval/flow_recovery_agentic",
+            "Eval/flow_recovery_sequential",
+            "Eval/psnr_agentic",
+            "Eval/ssim_agentic",
+            "Eval/lpips_agentic",
+        ):
+            assert k in metrics and np.isfinite(float(metrics[k])), k
+        # reconstructing can only help (or the metric must still be finite);
+        # PSNR of the corrupted video vs org should be finite and positive
+        assert float(metrics["Eval/psnr_corrupted"]) > 0
+
+
+class TestCompilationCache:
+    def test_noop_on_cpu_backend(self, tmp_path):
+        """CPU AOT cache entries bake in machine features (SIGILL risk), so
+        enable() only activates for accelerator backends — and the test
+        session runs on the forced-CPU mesh."""
+        from rovr_tpu.utils import compilation_cache
+
+        compilation_cache._enabled = False
+        compilation_cache.enable(str(tmp_path / "cache"))
+        assert not (tmp_path / "cache").exists()
+        assert not compilation_cache._enabled
