@@ -114,7 +114,12 @@ def run(
     if state is None:
         state = rl.init_state(cfg, mods.rovr, rng)
     raft_params = init_raft_params(mods, rng, size=flow_size)
-    dataset = dataset or SyntheticExplicitDataset(cfg.data, seed=cfg.run.seed)
+
+    import os
+
+    device_source = dataset is None and not os.path.isdir(cfg.data.root_folder)
+    if not device_source:
+        dataset = dataset or SyntheticExplicitDataset(cfg.data, seed=cfg.run.seed)
 
     path = run_dir(cfg.run.run_dir, "eval")
     writer = MetricsWriter(path)
@@ -122,12 +127,21 @@ def run(
     b = cfg.rl.batch_size
     n_steps = max(1, num_videos // b)
     s = cfg.rl.vid_length
+    if device_source:
+        from rovr_tpu.data.device_synthetic import DeviceSyntheticExplicit
+
+        h, w = cfg.data.frame_size
+        src = DeviceSyntheticExplicit(b, h, w, seed=cfg.run.seed)
     for i in range(n_steps):
-        items = [dataset[(i * b + j) % len(dataset)] for j in range(b)]
-        # slice to the configured horizon (the explicit dataset is pinned to
-        # 20 frames, video_ds_explicit.py:18)
-        video = jnp.asarray(np.stack([it[0][:s] for it in items]))
-        org = jnp.asarray(np.stack([it[1][:s] for it in items]))
+        if device_source:
+            corrupted, original, _, _, _ = src.next(i)
+            video, org = corrupted[:, :s], original[:, :s]
+        else:
+            items = [dataset[(i * b + j) % len(dataset)] for j in range(b)]
+            # slice to the configured horizon (the explicit dataset is pinned
+            # to 20 frames, video_ds_explicit.py:18)
+            video = jnp.asarray(np.stack([it[0][:s] for it in items]))
+            org = jnp.asarray(np.stack([it[1][:s] for it in items]))
         if video.shape[1] != s:
             raise ValueError(
                 f"dataset clips have {video.shape[1]} frames; "

@@ -180,7 +180,27 @@ def run(cfg: Optional[Config] = None, dataset=None, steps: Optional[int] = None,
     rng = jax.random.PRNGKey(cfg.run.seed)
     mods = make_modules(cfg)
     state = init_state(cfg, mods, rng)
-    dataset = dataset or SyntheticExplicitDataset(cfg.data, seed=cfg.run.seed)
+
+    import os
+
+    if dataset is None and not os.path.isdir(cfg.data.root_folder):
+        # device-resident synthetic clips (see train/rl.py rationale)
+        from rovr_tpu.data.device_synthetic import DeviceSyntheticExplicit
+
+        h, w = cfg.data.frame_size
+        src = DeviceSyntheticExplicit(1, h, w, seed=cfg.run.seed)
+
+        class _DeviceItems:
+            def __len__(self):
+                return 64
+
+            def __getitem__(self, i):
+                corrupted, _, _, pos, neg = src.next(i)
+                return corrupted[0], None, None, pos[0], neg[0]
+
+        dataset = _DeviceItems()
+    else:
+        dataset = dataset or SyntheticExplicitDataset(cfg.data, seed=cfg.run.seed)
 
     path = run_dir(cfg.run.run_dir, "warm_start_pn2")
     writer = MetricsWriter(path)

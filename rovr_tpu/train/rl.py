@@ -576,7 +576,17 @@ def run(
     rng, init_key = jax.random.split(rng)
     mods = make_modules(cfg)
     state = init_state(cfg, mods, init_key)
-    dataset = dataset or SyntheticExplicitDataset(cfg.data, seed=cfg.run.seed)
+
+    import os
+
+    # With no real frame tree on disk, generate clips ON DEVICE: the host
+    # synthetic path is numpy-bound (~4 clips/s/core, GIL-serialized) while
+    # the jitted device generator keeps pace with the train step.
+    device_source = dataset is None and not os.path.isdir(cfg.data.root_folder)
+    dataset = dataset or (
+        None if device_source
+        else SyntheticExplicitDataset(cfg.data, seed=cfg.run.seed)
+    )
 
     path = run_dir(cfg.run.run_dir, "rovr_rl")
     writer = MetricsWriter(path)
@@ -586,32 +596,49 @@ def run(
         if restored is not None:
             state = restored
 
-    # Host decode/corrupt overlapped with TPU compute: the prefetcher's
-    # worker threads stay ahead of the train loop (replaces the reference's
-    # 32 DataLoader worker processes, test.py:60).
-    from rovr_tpu.data.dataset import DevicePrefetcher
-
     b = cfg.rl.batch_size
-    indices = [i % len(dataset) for i in range(iterations * b)]
-    prefetcher = DevicePrefetcher(
-        dataset, indices=indices, num_workers=cfg.data.num_workers,
-        depth=max(2, cfg.data.prefetch_depth * b), to_device=False,
-    )
-    it = iter(prefetcher)
+    s = cfg.rl.vid_length
+    h, w = cfg.data.frame_size
+
+    if device_source:
+        from rovr_tpu.data.device_synthetic import DeviceSyntheticExplicit
+
+        src = DeviceSyntheticExplicit(b, h, w, seed=cfg.run.seed)
+
+        def batches():
+            for i in range(iterations):
+                corrupted, original, _, _, _ = src.next(i)
+                yield corrupted[:, :s], original[:, :s]
+    else:
+        # Host decode/corrupt overlapped with TPU compute: the prefetcher's
+        # worker threads stay ahead of the train loop (replaces the
+        # reference's 32 DataLoader worker processes, test.py:60).
+        from rovr_tpu.data.dataset import DevicePrefetcher
+
+        indices = [i % len(dataset) for i in range(iterations * b)]
+        prefetcher = DevicePrefetcher(
+            dataset, indices=indices, num_workers=cfg.data.num_workers,
+            depth=max(2, cfg.data.prefetch_depth * b), to_device=False,
+        )
+
+        def batches():
+            it = iter(prefetcher)
+            for _ in range(iterations):
+                items = [next(it) for _ in range(b)]
+                # datasets may yield longer clips (the explicit teacher
+                # scheme is pinned to 20 frames, video_ds_explicit.py:18);
+                # train on the configured horizon
+                video = jnp.asarray(np.stack([x[0][:s] for x in items]))
+                org = jnp.asarray(np.stack([x[1][:s] for x in items]))
+                if video.shape[1] != s:
+                    raise ValueError(
+                        f"dataset clips have {video.shape[1]} frames; "
+                        f"cfg.rl.vid_length={s} requires at least that many"
+                    )
+                yield video, org
+
     try:
-        s = cfg.rl.vid_length
-        for i in range(iterations):
-            items = [next(it) for _ in range(b)]
-            # datasets may yield longer clips (the explicit teacher scheme is
-            # pinned to 20 frames, video_ds_explicit.py:18); train on the
-            # configured horizon
-            video = jnp.asarray(np.stack([x[0][:s] for x in items]))
-            org = jnp.asarray(np.stack([x[1][:s] for x in items]))
-            if video.shape[1] != s:
-                raise ValueError(
-                    f"dataset clips have {video.shape[1]} frames; "
-                    f"cfg.rl.vid_length={s} requires at least that many"
-                )
+        for i, (video, org) in enumerate(batches()):
             rng, step_key = jax.random.split(rng)
             state, metrics, _ = train_step(state, mods, cfg, video, org, step_key)
             if i % cfg.run.log_every == 0:
@@ -620,7 +647,8 @@ def run(
                     log_cb(i, metrics)
             ckpt.save(i, state)
     finally:
-        prefetcher.close()
+        if not device_source:
+            prefetcher.close()
     ckpt.wait()
     writer.close()
     return state
