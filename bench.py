@@ -70,9 +70,9 @@ def main() -> None:
         org = np.stack([c[1] for c in clips])
         host_batches.append((video, org))
 
-    def one_step(i, key):
+    def one_step(state, i, key):
         video, org = host_batches[i % len(host_batches)]
-        st, metrics, _ = rl.train_step(
+        st, metrics, _ = rl.train_step_donated(
             state, mods, cfg, jnp.asarray(video), jnp.asarray(org), key
         )
         jax.block_until_ready(metrics)
@@ -80,11 +80,11 @@ def main() -> None:
 
     # warmup / compile
     keys = jax.random.split(rng, steps + 1)
-    one_step(0, keys[0])
+    state = one_step(state, 0, keys[0])
 
     t0 = time.perf_counter()
     for i in range(steps):
-        one_step(i + 1, keys[i + 1])
+        state = one_step(state, i + 1, keys[i + 1])
     dt = (time.perf_counter() - t0) / steps
     fps = batch * vid_length / dt
 

@@ -102,6 +102,12 @@ class RLConfig:
     # addition to rewards (rovr.py:234-237). Keep off by default for parity.
     use_spatio_reward: bool = False
     spatio_scale: float = 7.5
+    # Run the sequential (vid2vid-style) no-grad baseline reconstruction
+    # alongside the rollout (rovr.py:164-175). Observational only — never
+    # feeds back into rewards — and a second UNet pass per step, so the
+    # train path leaves it off; evaluation (train/evaluate.py) turns it on
+    # for the poster's agentic-vs-sequential comparison.
+    sequential_baseline: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -54,36 +54,58 @@ class VGG16Features(nn.Module):
 
 
 class LPIPS(nn.Module):
-    """lpips.LPIPS(net='vgg') twin. __call__(x, y) with x,y (B,H,W,3)."""
+    """lpips.LPIPS(net='vgg') twin. __call__(x, y) with x,y (B,H,W,3).
+
+    Also exposes the split API `taps(x)` / `distance_from_taps(fx, fy)` so a
+    consumer can cache the unit-normalized feature taps of a FIXED image set
+    (e.g. the original frames inside the RL rollout, train/rl.py) and pay the
+    VGG trunk only for the changing side — the trunk is ~half the LPIPS FLOPs
+    per distance."""
 
     dtype: Any = jnp.bfloat16
 
-    @nn.compact
+    def setup(self):
+        self.vgg = VGG16Features(dtype=self.dtype, name="vgg")
+        self.lins = [
+            self.param(
+                f"lin{i}", nn.initializers.uniform(scale=0.1),
+                (feats,), jnp.float32,
+            )
+            for i, (feats, _) in enumerate(_STAGES)
+        ]
+
+    def taps(self, x: jnp.ndarray, normalize: bool = True) -> List[jnp.ndarray]:
+        """Unit-normalized VGG feature taps of x (B,H,W,3), each bf16."""
+        if normalize:  # [0,1] -> [-1,1] (lpips normalize=True)
+            x = 2.0 * x - 1.0
+        x = (x - _SHIFT) / _SCALE
+        out = []
+        for tap in self.vgg(x):
+            t32 = tap.astype(jnp.float32)
+            t32 = t32 * jax.lax.rsqrt(jnp.sum(t32 * t32, -1, keepdims=True) + 1e-10)
+            out.append(t32.astype(self.dtype))
+        return out
+
+    def distance_from_taps(
+        self, fx: List[jnp.ndarray], fy: List[jnp.ndarray]
+    ) -> jnp.ndarray:
+        """LPIPS distance from two unit-normalized tap lists."""
+        total = jnp.zeros((fx[0].shape[0],), jnp.float32)
+        for i, (tx, ty) in enumerate(zip(fx, fy)):
+            diff = (tx.astype(jnp.float32) - ty.astype(jnp.float32)) ** 2
+            # lpips lin layers are 1x1 convs with non-negative weights
+            total = total + jnp.mean(diff @ jnp.abs(self.lins[i]), axis=(1, 2))
+        return total
+
     def __call__(
         self, x: jnp.ndarray, y: jnp.ndarray, normalize: bool = True
     ) -> jnp.ndarray:
-        if normalize:  # [0,1] -> [-1,1] (lpips normalize=True)
-            x = 2.0 * x - 1.0
-            y = 2.0 * y - 1.0
-        x = (x - _SHIFT) / _SCALE
-        y = (y - _SHIFT) / _SCALE
-        vgg = VGG16Features(dtype=self.dtype, name="vgg")
         # One batched trunk call for both inputs — halves compile/launch cost.
-        taps = vgg(jnp.concatenate([x, y], axis=0))
         b = x.shape[0]
-        total = jnp.zeros((b,), jnp.float32)
-        for i, tap in enumerate(taps):
-            fx, fy = tap[:b].astype(jnp.float32), tap[b:].astype(jnp.float32)
-            fx = fx * jax.lax.rsqrt(jnp.sum(fx * fx, -1, keepdims=True) + 1e-10)
-            fy = fy * jax.lax.rsqrt(jnp.sum(fy * fy, -1, keepdims=True) + 1e-10)
-            diff = (fx - fy) ** 2
-            w = self.param(
-                f"lin{i}", nn.initializers.uniform(scale=0.1),
-                (tap.shape[-1],), jnp.float32,
-            )
-            # lpips lin layers are 1x1 convs with non-negative weights
-            total = total + jnp.mean(diff @ jnp.abs(w), axis=(1, 2))
-        return total
+        both = self.taps(jnp.concatenate([x, y], axis=0), normalize=normalize)
+        return self.distance_from_taps(
+            [t[:b] for t in both], [t[b:] for t in both]
+        )
 
 
 def convert_lpips_weights(

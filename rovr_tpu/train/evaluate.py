@@ -61,6 +61,13 @@ def eval_step(
     metric O for agentic and sequential sampling plus PSNR/SSIM/LPIPS.
     """
     video, org_video = batch
+    # evaluation always runs the sequential baseline: the poster's headline
+    # comparison is agentic vs sequential flow recovery (BASELINE.md)
+    import dataclasses
+
+    cfg = cfg.replace(
+        rl=dataclasses.replace(cfg.rl, sequential_baseline=True)
+    )
     out = rl.rollout(
         state, mods.rovr, cfg, video, org_video, jax.random.PRNGKey(cfg.run.seed)
     )

@@ -320,8 +320,24 @@ def rollout(
     video = jax.lax.stop_gradient(video)
     org_video = jax.lax.stop_gradient(org_video)
 
-    # Initial per-frame LPIPS baseline (rovr.py:84).
-    curr_loss = per_frame_lpips(mods, state.lpips_params, video, org_video)
+    # Initial per-frame LPIPS baseline (rovr.py:84) — and cache the
+    # unit-normalized VGG taps of the ORIGINAL frames: they are constant
+    # through the episode, and recomputing the org-side trunk inside the scan
+    # was ~20% of the step's FLOPs.
+    flat = video.reshape((b * s,) + video.shape[2:])
+    flat_org = org_video.reshape((b * s,) + org_video.shape[2:])
+    org_taps = mods.lpips.apply(
+        {"params": state.lpips_params}, flat_org, method=LPIPS.taps
+    )
+    video_taps = mods.lpips.apply(
+        {"params": state.lpips_params}, flat, method=LPIPS.taps
+    )
+    curr_loss = mods.lpips.apply(
+        {"params": state.lpips_params}, video_taps, org_taps,
+        method=LPIPS.distance_from_taps,
+    ).reshape(b, s)
+    # (B, S, h, w, c) per tap, gatherable by frame index
+    org_taps = [t.reshape((b, s) + t.shape[1:]) for t in org_taps]
 
     # Encode the state once (rovr.py:106-107): resize on device, no PIL.
     frames224 = jax.image.resize(
@@ -359,22 +375,37 @@ def rollout(
         )
 
         # Sequential (vid2vid-style) baseline: contexts t-1, t-2
-        # (rovr.py:164-175), clamped at the clip start.
-        seq_idx = jnp.stack(
-            [jnp.maximum(tgt - 1, 0), jnp.maximum(tgt - 2, 0)], axis=1
-        )
-        exp_tgt = jax.vmap(lambda v, i: v[i])(exp_video, tgt)
-        exp_ctx = _gather_frames(exp_video, seq_idx)
-        exp_hat = mods.local_net.apply(
-            {"params": state.local_net_params}, exp_tgt, exp_ctx
-        )
-        exp_video = _write_frame(exp_video, tgt, exp_hat)
+        # (rovr.py:164-175), clamped at the clip start. Purely observational
+        # (the reference runs it under no_grad and never feeds it back into
+        # rewards), so it is gated off in the train step — a second UNet
+        # forward per rollout step is ~25% of the step's FLOPs — and on in
+        # evaluation, where the poster's agentic-vs-sequential comparison
+        # needs it.
+        if rl.sequential_baseline:
+            seq_idx = jnp.stack(
+                [jnp.maximum(tgt - 1, 0), jnp.maximum(tgt - 2, 0)], axis=1
+            )
+            exp_tgt = jax.vmap(lambda v, i: v[i])(exp_video, tgt)
+            exp_ctx = _gather_frames(exp_video, seq_idx)
+            exp_hat = mods.local_net.apply(
+                {"params": state.local_net_params}, exp_tgt, exp_ctx
+            )
+            exp_video = _write_frame(
+                exp_video, tgt, exp_hat.astype(exp_video.dtype)
+            )
 
         # Reward: LPIPS of the reconstruction vs the original; the marginal
         # reward is the improvement over the frame's previous loss
-        # (rovr.py:182-205).
+        # (rovr.py:182-205). Org-side taps come from the episode cache.
         org_tgt = jax.vmap(lambda v, i: v[i])(org_video, tgt)
-        lpips_now = mods.lpips.apply({"params": state.lpips_params}, y_hat, org_tgt)
+        y_taps = mods.lpips.apply(
+            {"params": state.lpips_params}, y_hat, method=LPIPS.taps
+        )
+        org_tgt_taps = [jax.vmap(lambda t, i: t[i])(t_, tgt) for t_ in org_taps]
+        lpips_now = mods.lpips.apply(
+            {"params": state.lpips_params}, y_taps, org_tgt_taps,
+            method=LPIPS.distance_from_taps,
+        )
         prev = jax.vmap(lambda c, i: c[i])(cl, tgt)
         marginal = -(lpips_now - prev)
         oh = jax.nn.one_hot(tgt, s, dtype=cl.dtype)
@@ -382,7 +413,7 @@ def rollout(
 
         # State update: write the frame back + re-encode its tile
         # (rovr.py:196-200).
-        recon = _write_frame(recon, tgt, y_hat)
+        recon = _write_frame(recon, tgt, y_hat.astype(recon.dtype))
         cvs, new_feat = mods.vp.apply(
             {"params": state.vp_params}, tgt, y_hat, cvs,
             method=VideoProcessor.insert_encoded_frame_batch,
@@ -414,10 +445,19 @@ def rollout(
         )
         return (recon, exp_video, cvs, fts, cl, lstm_c, token, key), out
 
-    init = (video, video, canvas, feats, curr_loss, lstm_carry, token0, rng)
+    # Carry the working videos in the conv compute dtype (bf16): the UNet and
+    # VGG trunks cast their inputs down anyway, and the per-step write/read of
+    # two (B,S,H,W,3) float32 videos was pure HBM traffic.
+    carry_dt = mods.local_net.dtype
+    init = (
+        video.astype(carry_dt), video.astype(carry_dt), canvas, feats,
+        curr_loss, lstm_carry, token0, rng,
+    )
     (recon, exp_video, _, _, _, _, _, _), ys = jax.lax.scan(
         step, init, jnp.arange(t_steps)
     )
+    recon = recon.astype(video.dtype)
+    exp_video = exp_video.astype(video.dtype)
 
     rtgs = rewards_to_go(ys["marginal"], rl.gamma)  # (T, B)
     traj = Trajectory(
@@ -506,8 +546,7 @@ def ppo_update(
     }
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def train_step(
+def _train_step(
     state: ROVRState,
     mods: ROVRModules,
     cfg: Config,
@@ -527,6 +566,17 @@ def train_step(
     metrics = dict(out.metrics)
     metrics.update(ppo_metrics)
     return state, metrics, out.reconstructed
+
+
+train_step = functools.partial(jax.jit, static_argnums=(1, 2))(_train_step)
+
+# The hot-loop variant donates the input state: the large frozen param block
+# (VGG + ResNet + local UNet, ~400 MB at reference scale) passes through
+# unchanged, and without donation XLA copies it into fresh output buffers
+# every step. Callers must thread the returned state and drop the old one.
+train_step_donated = functools.partial(
+    jax.jit, static_argnums=(1, 2), donate_argnums=(0,)
+)(_train_step)
 
 
 def make_sharded_train_step(mesh, mods: ROVRModules, cfg: Config):
@@ -640,7 +690,9 @@ def run(
     try:
         for i, (video, org) in enumerate(batches()):
             rng, step_key = jax.random.split(rng)
-            state, metrics, _ = train_step(state, mods, cfg, video, org, step_key)
+            state, metrics, _ = train_step_donated(
+                state, mods, cfg, video, org, step_key
+            )
             if i % cfg.run.log_every == 0:
                 writer.scalars({k: float(v) for k, v in metrics.items()}, i)
                 if log_cb:
