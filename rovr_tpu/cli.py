@@ -46,19 +46,17 @@ def _apply_base(cfg: Config, args) -> Config:
 
 
 def _dataset(cfg: Config, args, explicit: bool = True):
-    """Folder dataset when --root_folder exists on disk, else synthetic."""
+    """Folder dataset when --root_folder exists on disk; None otherwise, so
+    the workload drivers fall back to the on-device synthetic source
+    (data/device_synthetic.py)."""
     import os
 
-    from rovr_tpu.data.dataset import (
-        ExplicitVideoDataset,
-        SyntheticExplicitDataset,
-        VideoFolderDataset,
-    )
+    from rovr_tpu.data.dataset import ExplicitVideoDataset, VideoFolderDataset
 
     if args.root_folder and os.path.isdir(args.root_folder):
         ds = ExplicitVideoDataset if explicit else VideoFolderDataset
         return ds(cfg.data, seed=cfg.run.seed)
-    return SyntheticExplicitDataset(cfg.data, seed=cfg.run.seed)
+    return None
 
 
 def cmd_rl(argv: List[str]) -> int:
@@ -71,6 +69,15 @@ def cmd_rl(argv: List[str]) -> int:
                    help="clips per step (reference pinned to 1, test.py:18)")
     p.add_argument("--use_policy1", action="store_true",
                    help="revive the frame-selection policy + LSTM path")
+    p.add_argument("--context_policy", choices=("canvas", "attention"),
+                   default="canvas",
+                   help="context policy: canvas=PolicyNet2 (reference main "
+                        "path), attention=transformer over frame tokens "
+                        "(long-clip config 5)")
+    p.add_argument("--sequential_baseline", action="store_true",
+                   help="also run the no-grad vid2vid baseline per step "
+                        "(rovr.py:164-175; observational, costs a second "
+                        "UNet pass)")
     p.add_argument("--iterations", type=int, default=400,
                    help="hard stop (test.py:75-76)")
     _base_parser(p)
@@ -85,6 +92,8 @@ def cmd_rl(argv: List[str]) -> int:
             n_updates_per_ppo=args.n_updates_per_ppo,
             batch_size=args.batch_size,
             use_policy1=args.use_policy1,
+            context_policy=args.context_policy,
+            sequential_baseline=args.sequential_baseline,
         ),
         data=dataclasses.replace(cfg.data, vid_length=args.vid_length),
     )
