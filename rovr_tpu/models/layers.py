@@ -99,6 +99,38 @@ class UpConvBlock(nn.Module):
         return nn.relu(x)
 
 
+class FusedConv3x3(nn.Module):
+    """conv3x3(same) + bias + ReLU with auto-dispatch to the Pallas fused
+    kernel (ops/pallas/conv.py) inside its measured profitable envelope,
+    XLA conv elsewhere. Param names/shapes match nn.Conv ("kernel" HWIO,
+    "bias"), so checkpoints are interchangeable with ConvBlock-style convs.
+    """
+
+    features: int
+    relu: bool = True
+    dtype: Optional[Dtype] = None
+    impl: str = "auto"   # "auto" | "pallas" | "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        xd = x.astype(self.dtype) if self.dtype is not None else x
+        from rovr_tpu.ops.pallas import conv as pconv
+
+        if self.impl == "pallas" or (
+            self.impl == "auto" and pconv.supported(xd.shape, self.features)
+        ):
+            return pconv.fused_conv3x3(xd, kernel, bias, self.relu)
+        return pconv._reference(xd, kernel, bias, self.relu)
+
+
 class MLP(nn.Module):
     """Stack of Dense layers with NO activations between them — faithful to the
     reference's final_fc Sequential of bare Linears (policy_net_2.py:63-69).
