@@ -165,6 +165,13 @@ class SyntheticExplicitDataset:
         )
 
 
+class _WorkerError:
+    """Envelope carrying a worker-thread exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class DevicePrefetcher:
     """Thread-pool loader + device staging queue.
 
@@ -208,7 +215,11 @@ class DevicePrefetcher:
         for pos in range(worker_id, len(self.indices), num_workers):
             if self._stop.is_set():
                 return
-            item = self.dataset[self.indices[pos]]
+            try:
+                item = self.dataset[self.indices[pos]]
+            except BaseException as e:  # propagate to the consumer, don't
+                self._host_q.put((pos, _WorkerError(e)))  # hang the pipeline
+                return
             self._host_q.put((pos, item))
 
     def _stage(self):
@@ -219,6 +230,9 @@ class DevicePrefetcher:
         total = len(self.indices)
         while next_pos < total and not self._stop.is_set():
             pos, item = self._host_q.get()
+            if isinstance(item, _WorkerError):
+                self._device_q.put(item)
+                return
             heapq.heappush(heap, (pos, item))
             while heap and heap[0][0] == next_pos:
                 _, it = heapq.heappop(heap)
@@ -238,6 +252,8 @@ class DevicePrefetcher:
             item = self._device_q.get()
             if item is None:
                 return
+            if isinstance(item, _WorkerError):
+                raise item.exc
             yield item
 
     def close(self):

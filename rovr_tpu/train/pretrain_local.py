@@ -139,6 +139,21 @@ def train_step(
     )
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def viz_batch(state: PretrainState, rng, mods: PretrainModules, data):
+    """(input | ctx1 | ctx2 | target | output) strip for TensorBoard — the
+    reference's every-200-steps image grid (train_local_net_unet.py:117-119).
+    Returns (H, 5*W, 3) in [0, 1] for one sampled example."""
+    video, orig_video = data
+    image, context, target = sample_batch(rng, video, orig_video, 1)
+    y_hat = mods.local_net.apply({"params": state.params}, image, context)
+    strip = jnp.concatenate(
+        [image[0], context[0, 0], context[0, 1], target[0],
+         y_hat[0].astype(jnp.float32)], axis=1,
+    )
+    return jnp.clip(strip, 0.0, 1.0)
+
+
 def run(cfg: Optional[Config] = None, data=None, steps: Optional[int] = None,
         log_cb=None) -> PretrainState:
     """Training driver. `data` = (video, orig_video) arrays (L,S,H,W,3);
@@ -186,6 +201,11 @@ def run(cfg: Optional[Config] = None, data=None, steps: Optional[int] = None,
             writer.scalars({k: float(v) for k, v in metrics.items()}, i)
             if log_cb:
                 log_cb(i, metrics)
+        if cfg.pretrain.viz_every and i % cfg.pretrain.viz_every == 0:
+            writer.image(
+                "Pretrain/input_ctx_target_output",
+                viz_batch(state, step_key, mods, data), i,
+            )
         ckpt.save(i, state)
     ckpt.wait()
     writer.close()

@@ -690,11 +690,21 @@ def run(
     try:
         for i, (video, org) in enumerate(batches()):
             rng, step_key = jax.random.split(rng)
-            state, metrics, _ = train_step_donated(
+            state, metrics, recon = train_step_donated(
                 state, mods, cfg, video, org, step_key
             )
             if i % cfg.run.log_every == 0:
                 writer.scalars({k: float(v) for k, v in metrics.items()}, i)
+                # corrupted | reconstructed | original strip of frame 0
+                # (the reference's per-episode image grid, rovr.py:211-213)
+                writer.image(
+                    "Episode/corrupted_recon_original",
+                    np.concatenate([
+                        np.asarray(video[0, 0]), np.asarray(recon[0, 0]),
+                        np.asarray(org[0, 0]),
+                    ], axis=1).clip(0.0, 1.0),
+                    i,
+                )
                 if log_cb:
                     log_cb(i, metrics)
             ckpt.save(i, state)
@@ -704,3 +714,47 @@ def run(
     ckpt.wait()
     writer.close()
     return state
+
+
+def run_resilient(
+    cfg: Optional[Config] = None,
+    dataset=None,
+    iterations: Optional[int] = None,
+    log_cb=None,
+    max_restarts: int = 3,
+) -> ROVRState:
+    """Crash-resuming RL driver — the failure-recovery subsystem the
+    reference lacks (SURVEY.md §5: "Failure detection: none; crashes lose the
+    process; recovery = manually editing hardcoded checkpoint paths").
+
+    On any exception other than KeyboardInterrupt, locates the newest
+    checkpoint under cfg.run.run_dir and relaunches `run` restoring from it,
+    up to `max_restarts` times. Completed iterations persist in the restored
+    state's step counter.
+    """
+    import dataclasses as _dc
+    import traceback
+
+    from rovr_tpu.utils.checkpoint import latest_checkpoint_dir
+
+    cfg = cfg or Config()
+    for attempt in range(max_restarts + 1):
+        try:
+            return run(cfg, dataset=dataset, iterations=iterations,
+                       log_cb=log_cb)
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            if attempt == max_restarts:
+                raise
+            traceback.print_exc()
+            resume = latest_checkpoint_dir(cfg.run.run_dir, "rovr_rl")
+            print(
+                f"[rovr_tpu.rl] attempt {attempt + 1} crashed; "
+                + (f"resuming from {resume}" if resume
+                   else "restarting fresh (no checkpoint found)")
+            )
+            cfg = cfg.replace(
+                run=_dc.replace(cfg.run, restore_from=resume)
+            )
+    raise AssertionError("unreachable")

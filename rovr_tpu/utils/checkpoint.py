@@ -26,6 +26,25 @@ def run_dir(root: str, experiment: str) -> str:
     return path
 
 
+def latest_checkpoint_dir(root: str, experiment: str) -> Optional[str]:
+    """Newest run's checkpoints dir that actually contains a saved step.
+
+    Scans `root/experiment/<timestamp>/checkpoints` — the recovery hook for
+    crash-resume (the reference's only recovery path is hand-editing
+    hardcoded paths, rovr.py:38-42).
+    """
+    base = os.path.join(root, experiment)
+    if not os.path.isdir(base):
+        return None
+    for stamp in sorted(os.listdir(base), reverse=True):
+        ck = os.path.join(base, stamp, "checkpoints")
+        if os.path.isdir(ck) and any(
+            s.isdigit() for s in os.listdir(ck)
+        ):
+            return ck
+    return None
+
+
 class CheckpointManager:
     """Thin Orbax CheckpointManager wrapper for pytree train states."""
 

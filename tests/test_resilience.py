@@ -1,0 +1,102 @@
+"""Failure recovery: prefetcher exception propagation + crash-resume driver.
+
+The reference has no failure handling at all (SURVEY.md §5): a crash loses
+the process and recovery means hand-editing hardcoded checkpoint paths.
+These tests pin the rebuilt subsystem: worker errors surface instead of
+hanging the pipeline, and rl.run_resilient restores the newest checkpoint
+and continues.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from rovr_tpu.config import Config
+from rovr_tpu.data.dataset import DevicePrefetcher
+
+
+def tiny_cfg(tmp_path):
+    c = Config()
+    return c.replace(
+        data=dataclasses.replace(c.data, frame_size=(32, 32), vid_length=4),
+        model=dataclasses.replace(
+            c.model,
+            local_net_channels=(4, 8, 16, 32),
+            pn2_num_frames=4, pn1_num_frames=4, pn2_fc_dims=(64, 32),
+            canvas_size=64, canvas_tile=32, canvas_tiles_per_row=2,
+            feature_dim=64, lstm_hidden_dim=32,
+        ),
+        rl=dataclasses.replace(
+            c.rl, vid_length=4, time_steps=2, n_updates_per_ppo=1,
+            batch_size=1,
+        ),
+        run=dataclasses.replace(
+            c.run, run_dir=str(tmp_path), checkpoint_every=1, log_every=100,
+        ),
+    )
+
+
+class FlakyDataset:
+    """Explicit-contract dataset that raises exactly once, on the second
+    item of the first pass."""
+
+    def __init__(self, n=8, s=4, hw=32):
+        self.n, self.s, self.hw = n, s, hw
+        self.crashes_left = 1
+        self.accesses = 0
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        self.accesses += 1
+        if self.accesses == 2 and self.crashes_left:
+            self.crashes_left -= 1
+            raise RuntimeError("injected data failure")
+        rng = np.random.default_rng(idx)
+        clip = rng.random((self.s, self.hw, self.hw, 3), np.float32)
+        corrupted = clip * 0.9
+        masks = np.ones_like(clip)
+        pos = rng.integers(0, self.s, (self.s, 2, 2))
+        neg = rng.integers(0, self.s, (self.s, 1, 2))
+        return corrupted, clip, masks, pos, neg
+
+
+class TestPrefetcherErrors:
+    def test_worker_exception_propagates(self):
+        ds = FlakyDataset()
+        pf = DevicePrefetcher(ds, num_workers=2, depth=2, to_device=False)
+        with pytest.raises(RuntimeError, match="injected data failure"):
+            for _ in pf:
+                pass
+        pf.close()
+
+
+class TestRunResilient:
+    def test_crash_resume_completes(self, tmp_path):
+        from rovr_tpu.train import rl
+
+        cfg = tiny_cfg(tmp_path)
+        ds = FlakyDataset()
+        state = rl.run_resilient(cfg, dataset=ds, iterations=3)
+        # first attempt crashed partway; the relaunch restored the newest
+        # checkpoint and ran its own 3 iterations
+        assert int(state.step) >= 3
+        from rovr_tpu.utils.checkpoint import latest_checkpoint_dir
+
+        assert latest_checkpoint_dir(str(tmp_path), "rovr_rl") is not None
+
+    def test_gives_up_after_max_restarts(self, tmp_path):
+        from rovr_tpu.train import rl
+
+        class AlwaysCrash(FlakyDataset):
+            def __getitem__(self, idx):
+                raise RuntimeError("permanent failure")
+
+        cfg = tiny_cfg(tmp_path)
+        with pytest.raises(RuntimeError, match="permanent failure"):
+            rl.run_resilient(
+                cfg, dataset=AlwaysCrash(), iterations=2, max_restarts=1
+            )
