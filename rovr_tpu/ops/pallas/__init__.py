@@ -1,0 +1,1 @@
+from rovr_tpu.ops.pallas import attention, conv  # noqa: F401

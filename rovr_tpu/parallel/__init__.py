@@ -1,1 +1,1 @@
-from rovr_tpu.parallel import collectives, mesh  # noqa: F401
+from rovr_tpu.parallel import collectives, mesh, ring_attention, tp  # noqa: F401

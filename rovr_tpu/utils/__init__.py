@@ -1,1 +1,8 @@
-from rovr_tpu.utils import checkpoint, logging  # noqa: F401
+from rovr_tpu.utils import (  # noqa: F401
+    checkpoint,
+    compilation_cache,
+    debug,
+    logging,
+    profiling,
+    transfer,
+)
