@@ -27,7 +27,7 @@ from flax import linen as nn
 
 from rovr_tpu.models.attention import EncoderBlock
 from rovr_tpu.models.layers import standardize
-from rovr_tpu.models.policy_net_1 import gumbel_softmax
+from rovr_tpu.models.policy_net_1 import gumbel_log_softmax
 from rovr_tpu.models.policy_net_2 import LN2
 
 
@@ -109,9 +109,9 @@ class AttentionContextPolicy(nn.Module):
     def act(self, feats, target_idx, rng) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Top-2 context frames + joint logprob (policy_net_2.py:94-102)."""
         logits = self.masked_logits(feats, target_idx)
-        probs = gumbel_softmax(logits, rng, self.temperature)
-        top = jax.lax.top_k(probs, 2)
-        logprob = jnp.sum(jnp.log(top[0]), axis=1) / 2 + LN2
+        logp = gumbel_log_softmax(logits, rng, self.temperature)
+        top = jax.lax.top_k(logp, 2)
+        logprob = jnp.sum(top[0], axis=1) / 2 + LN2
         return jax.lax.stop_gradient(top[1]), jax.lax.stop_gradient(logprob)
 
     def logprob(self, feats, target_idx, action, rng) -> jnp.ndarray:
@@ -121,10 +121,10 @@ class AttentionContextPolicy(nn.Module):
         logits = self.head(x)[..., 0]
         onehot = jax.nn.one_hot(target_idx, logits.shape[1], dtype=logits.dtype)
         logits = logits * (1.0 - onehot)
-        probs = gumbel_softmax(logits, rng, self.temperature)
-        pa = jnp.take_along_axis(probs, action[:, 0:1], axis=1)[:, 0]
-        pb = jnp.take_along_axis(probs, action[:, 1:2], axis=1)[:, 0]
-        return (jnp.log(pa) + jnp.log(pb)) / 2 + LN2
+        logp = gumbel_log_softmax(logits, rng, self.temperature)
+        lpa = jnp.take_along_axis(logp, action[:, 0:1], axis=1)[:, 0]
+        lpb = jnp.take_along_axis(logp, action[:, 1:2], axis=1)[:, 0]
+        return (lpa + lpb) / 2 + LN2
 
     def value(self, feats, target_idx) -> jnp.ndarray:
         """Critic: mean-pooled frame embeddings -> scalar."""

@@ -83,17 +83,17 @@ class PolicyNet1(nn.Module):
             raise ValueError("act() is for the actor head")
         logits = self.logits(image, context)
         logits = standardize(logits, axis=1, eps=0.1)  # policy_net_1.py:99
-        probs = gumbel_softmax(logits, rng, self.temperature)
-        action = jnp.argmax(probs, axis=1)
-        logprob = jnp.log(jnp.max(probs, axis=1))
+        logp = gumbel_log_softmax(logits, rng, self.temperature)
+        action = jnp.argmax(logp, axis=1)
+        logprob = jnp.max(logp, axis=1)
         return jax.lax.stop_gradient(action), jax.lax.stop_gradient(logprob)
 
     def logprob(self, image, context, action, rng) -> jnp.ndarray:
         """Recompute log-prob of `action` with fresh Gumbel noise
         (policy_net_1.py:107-114)."""
         logits = self.logits(image, context)
-        probs = gumbel_softmax(logits, rng, self.temperature)
-        return jnp.log(jnp.take_along_axis(probs, action[:, None], axis=1))[:, 0]
+        logp = gumbel_log_softmax(logits, rng, self.temperature)
+        return jnp.take_along_axis(logp, action[:, None], axis=1)[:, 0]
 
     def value(self, image, context) -> jnp.ndarray:
         if not self.is_critic:
@@ -105,3 +105,19 @@ def gumbel_softmax(logits: jnp.ndarray, rng, temperature: float) -> jnp.ndarray:
     """softmax((logits + Gumbel noise) / tau) — torch F.gumbel_softmax(hard=False)."""
     g = jax.random.gumbel(rng, logits.shape, dtype=logits.dtype)
     return jax.nn.softmax((logits + g) / temperature, axis=-1)
+
+
+def gumbel_log_softmax(
+    logits: jnp.ndarray, rng, temperature: float
+) -> jnp.ndarray:
+    """log_softmax((logits + Gumbel noise) / tau), float32.
+
+    The numerically stable twin of log(gumbel_softmax(...)): with unbounded
+    logits (the PPO logprob path skips re-standardization, faithful to
+    policy_net_2.py:138-140) softmax probabilities underflow to exact 0 and
+    log() yields -inf — which surfaced as actor_loss=NaN one PPO update into
+    real training. log_softmax never produces -inf for finite logits.
+    """
+    logits = logits.astype(jnp.float32)
+    g = jax.random.gumbel(rng, logits.shape, jnp.float32)
+    return jax.nn.log_softmax((logits + g) / temperature, axis=-1)

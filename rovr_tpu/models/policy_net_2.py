@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rovr_tpu.models.layers import BatchStatNorm, MLP, max_pool, standardize
-from rovr_tpu.models.policy_net_1 import gumbel_softmax
+from rovr_tpu.models.policy_net_1 import gumbel_log_softmax
 
 LN2 = 0.69314  # the reference's literal constant (policy_net_2.py:101)
 
@@ -88,9 +88,9 @@ class PolicyNet2(nn.Module):
         """Sample top-2 context frames. Returns (actions (B,2), logprob (B,)).
         Parity: policy_net_2.py:94-102."""
         logits = self.masked_logits(canvas, target_feat, target_idx)
-        probs = gumbel_softmax(logits, rng, self.temperature)
-        top = jax.lax.top_k(probs, 2)
-        logprob = jnp.sum(jnp.log(top[0]), axis=1) / 2 + LN2
+        logp = gumbel_log_softmax(logits, rng, self.temperature)
+        top = jax.lax.top_k(logp, 2)
+        logprob = jnp.sum(top[0], axis=1) / 2 + LN2
         return (
             jax.lax.stop_gradient(top[1]),
             jax.lax.stop_gradient(logprob),
@@ -108,10 +108,10 @@ class PolicyNet2(nn.Module):
         logits = logits * (1.0 - onehot)
         # NOTE: the reference's PPO path does NOT re-standardize after masking
         # (policy_net_2.py:138-140), unlike the rollout path — kept faithful.
-        probs = gumbel_softmax(logits, rng, self.temperature)
-        pa = jnp.take_along_axis(probs, action[:, 0:1], axis=1)[:, 0]
-        pb = jnp.take_along_axis(probs, action[:, 1:2], axis=1)[:, 0]
-        return (jnp.log(pa) + jnp.log(pb)) / 2 + LN2
+        logp = gumbel_log_softmax(logits, rng, self.temperature)
+        lpa = jnp.take_along_axis(logp, action[:, 0:1], axis=1)[:, 0]
+        lpb = jnp.take_along_axis(logp, action[:, 1:2], axis=1)[:, 0]
+        return (lpa + lpb) / 2 + LN2
 
     def value(self, canvas, target_feat) -> jnp.ndarray:
         """Critic: batch-standardize the 2048-d feature then final_fc -> 1

@@ -20,8 +20,15 @@ def ppo_clip_actor_loss(
     advantages: jnp.ndarray,
     clip: float = 0.2,
 ) -> jnp.ndarray:
-    """-mean(min(r*A, clip(r)*A)) (rovr.py:314-324)."""
-    ratio = jnp.exp(curr_logprob - old_logprob)
+    """-mean(min(r*A, clip(r)*A)) (rovr.py:314-324).
+
+    The log-ratio is bounded at ±20 before exponentiation: fresh-Gumbel
+    logprobs far from the behavior sample can be hundreds of nats apart,
+    and exp() of that is inf (NaN through the surrogate). e^±20 is already
+    far outside the clip interval, so the bound never changes the objective
+    in the trust region.
+    """
+    ratio = jnp.exp(jnp.clip(curr_logprob - old_logprob, -20.0, 20.0))
     l1 = ratio * advantages
     l2 = jnp.clip(ratio, 1.0 - clip, 1.0 + clip) * advantages
     return -jnp.mean(jnp.minimum(l1, l2))

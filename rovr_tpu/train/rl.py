@@ -53,7 +53,7 @@ from rovr_tpu.models.policy_net_1 import PolicyNet1
 from rovr_tpu.models.policy_net_2 import PolicyNet2
 from rovr_tpu.models.vgg_lpips import LPIPS
 from rovr_tpu.models.video_processor import VideoProcessor
-from rovr_tpu.ops.ppo import ppo_losses
+from rovr_tpu.ops.ppo import ppo_clip_actor_loss, ppo_losses
 from rovr_tpu.ops.rewards import normalized_advantage, rewards_to_go
 
 
@@ -509,10 +509,7 @@ def ppo_update(
 
     def actor_loss_fn(params, key):
         logp = _policy_logprob(mods, cfg, params, obs, obs_tgt, acs, key)
-        ratio = jnp.exp(logp - old_logp)
-        l1 = ratio * adv
-        l2 = jnp.clip(ratio, 1.0 - rl.clip, 1.0 + rl.clip) * adv
-        return -jnp.mean(jnp.minimum(l1, l2))
+        return ppo_clip_actor_loss(logp, old_logp, adv, rl.clip)
 
     def critic_loss_fn(params):
         v = _policy_value(mods, cfg, params, obs, obs_tgt)
