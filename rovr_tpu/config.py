@@ -70,6 +70,11 @@ class ModelConfig:
     attn_heads: int = 4
     attn_depth: int = 2
     attn_patch_tokens: int = 4
+    # Inner attention dispatch: "auto" (Pallas flash kernel on TPU inside its
+    # envelope, jnp elsewhere), "pallas" (force the kernel), "jnp", or "ring"
+    # (sequence-parallel over the mesh's model axis; pass the mesh to
+    # rl.make_modules).
+    attn_impl: str = "auto"
     # Compute dtype for conv/matmul-heavy paths. Params stay float32.
     compute_dtype: str = "bfloat16"
 
@@ -102,6 +107,13 @@ class RLConfig:
     # addition to rewards (rovr.py:234-237). Keep off by default for parity.
     use_spatio_reward: bool = False
     spatio_scale: float = 7.5
+    # Condition the inpainting UNet on the EVOLVING reconstruction (gather
+    # target/context frames from `recon`) instead of the immutable corrupted
+    # video. The reference gathers cache_target_frame and both context frames
+    # from the original corrupted `video` (rovr.py:133,152-153), so parity is
+    # False; True is a documented deviation (docs/migration.md) that lets
+    # later steps build on earlier reconstructions.
+    recon_context: bool = False
     # Run the sequential (vid2vid-style) no-grad baseline reconstruction
     # alongside the rollout (rovr.py:164-175). Observational only — never
     # feeds back into rewards — and a second UNet pass per step, so the

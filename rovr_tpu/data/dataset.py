@@ -211,6 +211,17 @@ class DevicePrefetcher:
             t.start()
         self._stager.start()
 
+    def _put(self, q: "queue.Queue", item) -> bool:
+        """put() that observes _stop so producers blocked on a full queue can
+        exit when the prefetcher is closed early (consumer stopped pulling)."""
+        while not self._stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _produce(self, worker_id: int, num_workers: int):
         for pos in range(worker_id, len(self.indices), num_workers):
             if self._stop.is_set():
@@ -218,9 +229,10 @@ class DevicePrefetcher:
             try:
                 item = self.dataset[self.indices[pos]]
             except BaseException as e:  # propagate to the consumer, don't
-                self._host_q.put((pos, _WorkerError(e)))  # hang the pipeline
+                self._put(self._host_q, (pos, _WorkerError(e)))  # hang
                 return
-            self._host_q.put((pos, item))
+            if not self._put(self._host_q, (pos, item)):
+                return
 
     def _stage(self):
         import heapq
@@ -229,9 +241,12 @@ class DevicePrefetcher:
         next_pos = 0
         total = len(self.indices)
         while next_pos < total and not self._stop.is_set():
-            pos, item = self._host_q.get()
+            try:
+                pos, item = self._host_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
             if isinstance(item, _WorkerError):
-                self._device_q.put(item)
+                self._put(self._device_q, item)
                 return
             heapq.heappush(heap, (pos, item))
             while heap and heap[0][0] == next_pos:
@@ -243,9 +258,10 @@ class DevicePrefetcher:
                         )
                     else:
                         it = tuple(self._jax.device_put(x) for x in it)
-                self._device_q.put(it)
+                if not self._put(self._device_q, it):
+                    return
                 next_pos += 1
-        self._device_q.put(None)
+        self._put(self._device_q, None)
 
     def __iter__(self) -> Iterator:
         while True:
@@ -256,5 +272,18 @@ class DevicePrefetcher:
                 raise item.exc
             yield item
 
-    def close(self):
+    def close(self, timeout: float = 5.0):
+        """Stop and reclaim the pipeline: signal stop, then join every worker
+        and the stager (their queue ops poll _stop, so they exit promptly
+        even when blocked on a full/empty queue)."""
         self._stop.set()
+        for t in self._workers:
+            t.join(timeout)
+        self._stager.join(timeout)
+        # free any staged batches still referenced by the queues
+        for q in (self._host_q, self._device_q):
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

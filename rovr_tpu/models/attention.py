@@ -13,6 +13,7 @@ jnp reference path elsewhere.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import jax
@@ -20,17 +21,48 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _attend(q, k, v, impl: str = "auto"):
-    """Dispatch to the Pallas flash kernel when profitable, else plain jnp.
+def _attend(q, k, v, impl: str = "auto", mesh=None, seq_axis: Optional[str] = None):
+    """Dispatch the inner attention product.
 
-    q,k,v: (B, H, L, D). The Pallas path requires L and D aligned to the TPU
-    tile grid; the jnp path is the numerical reference.
+    q,k,v: (B, H, L, D).
+      * "auto"/"pallas": the blockwise Pallas flash kernel
+        (ops/pallas/attention.py) — any L/D via padding+masking; "auto"
+        engages it inside its profitable envelope on TPU.
+      * "ring": sequence-parallel ring attention across `seq_axis` of `mesh`
+        (parallel/ring_attention.py) — q/k/v are resharded to
+        sequence-sharded at the shard_map boundary, k/v shards rotate over
+        ICI via ppermute. Requires mesh + seq_axis; L must divide the axis.
+      * anything else: the plain jnp reference path.
     """
+    if impl == "ring":
+        if mesh is None or seq_axis is None:
+            raise ValueError("attn_impl='ring' needs mesh and seq_axis")
+        from jax.sharding import PartitionSpec as P
+
+        from rovr_tpu.parallel.ring_attention import ring_attention
+
+        # Keep the batch sharded over the remaining mesh axes at the
+        # shard_map boundary (it already is, under the data-parallel train
+        # step) — a batch spec of None would make GSPMD all-gather the clip
+        # batch onto every device just to enter the ring.
+        batch_axes = tuple(a for a in mesh.axis_names if a != seq_axis)
+        n_batch = 1
+        for a in batch_axes:
+            n_batch *= mesh.shape[a]
+        if q.shape[0] % max(n_batch, 1) == 0 and q.shape[2] % mesh.shape[seq_axis] == 0:
+            spec = P(batch_axes or None, None, seq_axis, None)
+            fn = jax.shard_map(
+                functools.partial(ring_attention, axis_name=seq_axis),
+                mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            )
+            return fn(q, k, v)
+        # indivisible batch/sequence (e.g. the batch-1 flax init trace):
+        # fall through to the jnp path — identical math, no resharding
     if impl in ("pallas", "auto"):
         try:
             from rovr_tpu.ops.pallas.attention import flash_attention, supported
 
-            if impl == "pallas" or supported(q.shape):
+            if impl == "pallas" or supported(q.shape, k.shape):
                 return flash_attention(q, k, v)
         except ImportError:
             if impl == "pallas":
@@ -46,6 +78,8 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    mesh: Any = None
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, q_in, kv_in):
@@ -58,7 +92,7 @@ class MultiHeadAttention(nn.Module):
         q = dense("q")(q_in).transpose(0, 2, 1, 3)
         k = dense("k")(kv_in).transpose(0, 2, 1, 3)
         v = dense("v")(kv_in).transpose(0, 2, 1, 3)
-        o = _attend(q, k, v, self.attn_impl).transpose(0, 2, 1, 3)
+        o = _attend(q, k, v, self.attn_impl, self.mesh, self.seq_axis).transpose(0, 2, 1, 3)
         return nn.DenseGeneral(
             self.hidden_dim, axis=(-2, -1), dtype=self.dtype,
             param_dtype=jnp.float32, name="out",
@@ -73,12 +107,15 @@ class SelfAttentionBlock(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    mesh: Any = None
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         y = nn.LayerNorm(param_dtype=jnp.float32)(x)
         return y + MultiHeadAttention(
-            self.hidden_dim, self.num_heads, self.dtype, self.attn_impl
+            self.hidden_dim, self.num_heads, self.dtype, self.attn_impl,
+            self.mesh, self.seq_axis,
         )(y, y)
 
 
@@ -90,13 +127,16 @@ class CrossAttentionBlock(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    mesh: Any = None
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, encoder_output):
         y = nn.LayerNorm(param_dtype=jnp.float32)(x)
         enc = nn.LayerNorm(param_dtype=jnp.float32)(encoder_output)
         return y + MultiHeadAttention(
-            self.hidden_dim, self.num_heads, self.dtype, self.attn_impl
+            self.hidden_dim, self.num_heads, self.dtype, self.attn_impl,
+            self.mesh, self.seq_axis,
         )(y, enc)
 
 
@@ -124,11 +164,14 @@ class EncoderBlock(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    mesh: Any = None
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = x + SelfAttentionBlock(
-            self.hidden_dim, self.num_heads, self.dropout, self.dtype, self.attn_impl
+            self.hidden_dim, self.num_heads, self.dropout, self.dtype,
+            self.attn_impl, self.mesh, self.seq_axis,
         )(x)
         x = x + FeedForwardBlock(self.hidden_dim, self.dropout, self.dtype)(
             x, deterministic
@@ -144,14 +187,18 @@ class DecoderBlock(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    mesh: Any = None
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, encoder_output, deterministic: bool = True):
         x = x + SelfAttentionBlock(
-            self.hidden_dim, self.num_heads, self.dropout, self.dtype, self.attn_impl
+            self.hidden_dim, self.num_heads, self.dropout, self.dtype,
+            self.attn_impl, self.mesh, self.seq_axis,
         )(x)
         x = x + CrossAttentionBlock(
-            self.hidden_dim, self.num_heads, self.dropout, self.dtype, self.attn_impl
+            self.hidden_dim, self.num_heads, self.dropout, self.dtype,
+            self.attn_impl, self.mesh, self.seq_axis,
         )(x, encoder_output)
         x = x + FeedForwardBlock(self.hidden_dim, self.dropout, self.dtype)(
             x, deterministic

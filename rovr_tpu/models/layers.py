@@ -125,7 +125,7 @@ class FusedConv3x3(nn.Module):
         from rovr_tpu.ops.pallas import conv as pconv
 
         if self.impl == "pallas" or (
-            self.impl == "auto" and pconv.supported(xd.shape, self.features)
+            self.impl == "auto" and pconv.supported(xd.shape)
         ):
             return pconv.fused_conv3x3(xd, kernel, bias, self.relu)
         return pconv._reference(xd, kernel, bias, self.relu)

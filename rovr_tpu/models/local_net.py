@@ -19,7 +19,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rovr_tpu.models.layers import max_pool
+from rovr_tpu.models.layers import FusedConv3x3, max_pool
 
 
 class LocalNetUNet(nn.Module):
@@ -38,6 +38,16 @@ class LocalNetUNet(nn.Module):
             f, (k, k), padding=k // 2, dtype=self.dtype,
             param_dtype=jnp.float32, name=name,
         )
+        # The interior levels (conv3: 64^2 x 128, conv4: 32^2 x 256, conv5:
+        # 64^2 x 512 at the flagship 256^2 frames) sit inside the Pallas
+        # fused-conv kernel's measured win/tie envelope (ops/pallas/conv.py
+        # table: 1.03x / compute-bound / 1.02x vs XLA); FusedConv3x3
+        # auto-dispatches there and falls back to the XLA conv everywhere
+        # else (unaligned channels, bandwidth-bound exterior levels, CPU).
+        # Param names/shapes match nn.Conv, so checkpoints interop.
+        fconv = lambda f, name: FusedConv3x3(  # noqa: E731
+            f, relu=True, dtype=self.dtype, name=name,
+        )
         upconv = lambda f, name: nn.ConvTranspose(  # noqa: E731
             f, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype,
             param_dtype=jnp.float32, name=name,
@@ -47,12 +57,12 @@ class LocalNetUNet(nn.Module):
         # Contracting path (local_net.py:52-55)
         x1 = nn.relu(conv(c1, 3, "conv1")(x))
         x2 = nn.relu(conv(c2, 3, "conv2")(max_pool(x1, (2, 2))))
-        x3 = nn.relu(conv(c3, 3, "conv3")(max_pool(x2, (2, 2))))
-        x4 = nn.relu(conv(c4, 3, "conv4")(max_pool(x3, (2, 2))))
+        x3 = fconv(c3, "conv3")(max_pool(x2, (2, 2)))
+        x4 = fconv(c4, "conv4")(max_pool(x3, (2, 2)))
 
         # Expanding path with skip concat (local_net.py:58-68)
         y = nn.relu(upconv(c3, "upconv1")(x4))
-        y = nn.relu(conv(c3, 3, "conv5")(jnp.concatenate([y, x3], axis=-1)))
+        y = fconv(c3, "conv5")(jnp.concatenate([y, x3], axis=-1))
         y = nn.relu(upconv(c2, "upconv2")(y))
         y = nn.relu(conv(c2, 3, "conv6")(jnp.concatenate([y, x2], axis=-1)))
         y = nn.relu(upconv(c1, "upconv3")(y))

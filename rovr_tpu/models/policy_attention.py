@@ -49,6 +49,10 @@ class AttentionContextPolicy(nn.Module):
     is_critic: bool = False
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    # ring attention (attn_impl="ring"): mesh + the axis the frame-patch
+    # sequence is sharded over (parallel/ring_attention.py)
+    mesh: Any = None
+    seq_axis: Any = None
 
     def setup(self):
         p = self.patch_tokens
@@ -70,7 +74,8 @@ class AttentionContextPolicy(nn.Module):
         self.blocks = [
             EncoderBlock(
                 self.hidden_dim, self.num_heads, dtype=self.dtype,
-                attn_impl=self.attn_impl, name=f"block{i}",
+                attn_impl=self.attn_impl, mesh=self.mesh,
+                seq_axis=self.seq_axis, name=f"block{i}",
             )
             for i in range(self.depth)
         ]

@@ -65,7 +65,7 @@ def _pick_row_block(h: int, w: int, cin: int, cout: int,
     return 1
 
 
-def supported(shape: Tuple[int, ...], cout: Optional[int] = None) -> bool:
+def supported(shape: Tuple[int, ...]) -> bool:
     """(B, H, W, Cin) profitable for the kernel on a TPU backend.
 
     Measured envelope (v5e, see module docstring): the kernel ties or beats

@@ -9,8 +9,6 @@ the trainer (train/rl.py) as a `lax.scan` over optimizer updates.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 
 
@@ -37,12 +35,3 @@ def ppo_clip_actor_loss(
 def critic_loss(values: jnp.ndarray, rtgs: jnp.ndarray) -> jnp.ndarray:
     """MSE(V, rtg) (rovr.py:325)."""
     return jnp.mean((values - rtgs) ** 2)
-
-
-def ppo_losses(
-    curr_logprob, old_logprob, advantages, values, rtgs, clip: float = 0.2
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    return (
-        ppo_clip_actor_loss(curr_logprob, old_logprob, advantages, clip),
-        critic_loss(values, rtgs),
-    )

@@ -28,8 +28,19 @@ def make_mesh(
     cfg: Optional[MeshConfig] = None,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (data, model) mesh. Defaults: all devices on the data axis."""
+    """Build a (data, model) mesh. Defaults: all devices on the data axis.
+
+    Single-process only: multi-host (multi-process) mesh construction needs
+    jax.distributed.initialize + a device grid laid out so each host's
+    addressable devices are contiguous, which this helper does not do.
+    Scope matches BASELINE.json config 5 (one v5e-8 slice, one process).
+    """
     cfg = cfg or MeshConfig()
+    if devices is None and jax.process_count() > 1:
+        raise NotImplementedError(
+            "make_mesh is single-process; for multi-host pass an explicitly "
+            "laid-out `devices` grid (e.g. from jax.experimental.mesh_utils)"
+        )
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     dp = cfg.data_parallel if cfg.data_parallel > 0 else n

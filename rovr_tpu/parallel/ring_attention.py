@@ -70,13 +70,13 @@ def ring_attention(
         vv = jax.lax.ppermute(vv, axis_name, perm)
         return m, s, acc, kk, vv
 
-    b, h, lq, d = q.shape
-    m0 = jnp.full((b, h, lq, 1), _NEG_INF, jnp.float32)
-    s0 = jnp.zeros((b, h, lq, 1), jnp.float32)
-    acc0 = jnp.zeros((b, h, lq, d), jnp.float32)
-    # Mark the initial carry as device-varying along the ring axis so the
-    # loop carry types match after the ppermute (shard_map vma typing).
-    m0, s0, acc0 = jax.lax.pcast((m0, s0, acc0), (axis_name,), to="varying")
+    # Derive the initial carry from the local q shard so it inherits q's
+    # device-varying axes exactly (shard_map vma typing): under a
+    # multi-axis mesh the batch varies on the data axis and the sequence on
+    # the ring axis, and the loop carry must match the body output's type.
+    m0 = jnp.full_like(qf[..., :1], _NEG_INF)
+    s0 = jnp.zeros_like(qf[..., :1])
+    acc0 = jnp.zeros_like(qf)
     m, s, acc, _, _ = jax.lax.fori_loop(0, n, body, (m0, s0, acc0, k, v))
     return (acc / s).astype(q.dtype)
 

@@ -88,13 +88,20 @@ def make_tp_train_step(mesh: Mesh, mods, cfg):
         org_video = jax.lax.with_sharding_constraint(org_video, batch_sh)
         return rl._train_step(state, mods, cfg, video, org_video, rng)
 
+    # Build the jit wrapper ONCE, lazily on the first call: the state pytree
+    # structure is fixed after init_state, and a fresh jax.jit per call would
+    # carry a fresh trace cache — retracing/recompiling the full RL graph
+    # every step.
+    _cached = []
+
     def wrap(state, video, org_video, rng):
-        st_sh = state_shardings(mesh, state)
-        step = jax.jit(
-            _step,
-            in_shardings=(st_sh, batch_sh, batch_sh, rep),
-            out_shardings=(st_sh, rep, batch_sh),
-        )
-        return step(state, video, org_video, rng)
+        if not _cached:
+            st_sh = state_shardings(mesh, state)
+            _cached.append(jax.jit(
+                _step,
+                in_shardings=(st_sh, batch_sh, batch_sh, rep),
+                out_shardings=(st_sh, rep, batch_sh),
+            ))
+        return _cached[0](state, video, org_video, rng)
 
     return wrap

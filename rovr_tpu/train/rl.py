@@ -53,7 +53,7 @@ from rovr_tpu.models.policy_net_1 import PolicyNet1
 from rovr_tpu.models.policy_net_2 import PolicyNet2
 from rovr_tpu.models.vgg_lpips import LPIPS
 from rovr_tpu.models.video_processor import VideoProcessor
-from rovr_tpu.ops.ppo import ppo_clip_actor_loss, ppo_losses
+from rovr_tpu.ops.ppo import critic_loss, ppo_clip_actor_loss
 from rovr_tpu.ops.rewards import normalized_advantage, rewards_to_go
 
 
@@ -116,17 +116,25 @@ class RolloutOut(NamedTuple):
     metrics: Dict[str, jnp.ndarray]
 
 
-def make_modules(cfg: Config, dtype=None) -> ROVRModules:
+def make_modules(cfg: Config, dtype=None, mesh=None) -> ROVRModules:
+    """Construct the model zoo. `mesh` is only needed when
+    cfg.model.attn_impl == "ring" (the attention policy's sequence axis is
+    sharded over the mesh's model axis)."""
     dt = dtype if dtype is not None else jnp.bfloat16
     m = cfg.model
     if cfg.rl.context_policy == "attention":
         from rovr_tpu.models.policy_attention import AttentionContextPolicy
 
+        if m.attn_impl == "ring" and mesh is None:
+            raise ValueError("attn_impl='ring' requires make_modules(mesh=...)")
         attn = dict(
             num_frames=m.pn2_num_frames, feature_dim=m.feature_dim,
             hidden_dim=m.attn_hidden_dim, num_heads=m.attn_heads,
             depth=m.attn_depth, patch_tokens=m.attn_patch_tokens,
             temperature=m.pn2_temperature, dtype=dt,
+            attn_impl=m.attn_impl,
+            mesh=mesh if m.attn_impl == "ring" else None,
+            seq_axis=cfg.mesh.model_axis if m.attn_impl == "ring" else None,
         )
         actor2 = AttentionContextPolicy(**attn)
         critic2 = AttentionContextPolicy(**attn, is_critic=True)
@@ -348,6 +356,12 @@ def rollout(
     lstm_carry = mods.lstm.init_carry(b)
     token0 = jnp.zeros((b, mods.lstm.token_size, mods.lstm.token_size, 1))
 
+    # The corrupted input video in the conv compute dtype: the default
+    # (parity) rollout gathers every UNet input from this immutable tensor,
+    # so it is closed over rather than carried.
+    carry_dt = mods.local_net.dtype
+    video_cd = video.astype(carry_dt)
+
     def step(carry, t):
         (recon, exp_video, cvs, fts, cl, lstm_c, token, key) = carry
         key, k1, k2, k3 = jax.random.split(key, 4)
@@ -368,25 +382,30 @@ def rollout(
         acs, logp = _policy_act(mods, cfg, state.actor2_params, obs, tgt, k2)
 
         # Inpaint target given selected contexts (rovr.py:182 -> 252-265).
-        tgt_frame = jax.vmap(lambda v, i: v[i])(recon, tgt)
-        ctx = _gather_frames(recon, acs)
+        # Parity: the reference gathers cache_target_frame and both context
+        # frames from the immutable corrupted `video` (rovr.py:133,152-153),
+        # never from the evolving reconstruction; rl.recon_context=True is
+        # the documented deviation that conditions on `recon` instead.
+        frame_src = recon if rl.recon_context else video_cd
+        tgt_frame = jax.vmap(lambda v, i: v[i])(frame_src, tgt)
+        ctx = _gather_frames(frame_src, acs)
         y_hat = mods.local_net.apply(
             {"params": state.local_net_params}, tgt_frame, ctx
         )
 
-        # Sequential (vid2vid-style) baseline: contexts t-1, t-2
-        # (rovr.py:164-175), clamped at the clip start. Purely observational
-        # (the reference runs it under no_grad and never feeds it back into
-        # rewards), so it is gated off in the train step — a second UNet
-        # forward per rollout step is ~25% of the step's FLOPs — and on in
-        # evaluation, where the poster's agentic-vs-sequential comparison
-        # needs it.
+        # Sequential (vid2vid-style) baseline: contexts (t-2, t-1) with
+        # modulo wraparound, in that stack order (rovr.py:166-175), gathered
+        # from the corrupted video like the agentic path. Purely
+        # observational (the reference runs it under no_grad and never feeds
+        # it back into rewards), so it is gated off in the train step — a
+        # second UNet forward per rollout step is ~25% of the step's FLOPs —
+        # and on in evaluation, where the poster's agentic-vs-sequential
+        # comparison needs it.
         if rl.sequential_baseline:
-            seq_idx = jnp.stack(
-                [jnp.maximum(tgt - 1, 0), jnp.maximum(tgt - 2, 0)], axis=1
-            )
-            exp_tgt = jax.vmap(lambda v, i: v[i])(exp_video, tgt)
-            exp_ctx = _gather_frames(exp_video, seq_idx)
+            seq_idx = jnp.stack([(tgt - 2) % s, (tgt - 1) % s], axis=1)
+            exp_src = exp_video if rl.recon_context else video_cd
+            exp_tgt = jax.vmap(lambda v, i: v[i])(exp_src, tgt)
+            exp_ctx = _gather_frames(exp_src, seq_idx)
             exp_hat = mods.local_net.apply(
                 {"params": state.local_net_params}, exp_tgt, exp_ctx
             )
@@ -448,9 +467,8 @@ def rollout(
     # Carry the working videos in the conv compute dtype (bf16): the UNet and
     # VGG trunks cast their inputs down anyway, and the per-step write/read of
     # two (B,S,H,W,3) float32 videos was pure HBM traffic.
-    carry_dt = mods.local_net.dtype
     init = (
-        video.astype(carry_dt), video.astype(carry_dt), canvas, feats,
+        video_cd, video_cd, canvas, feats,
         curr_loss, lstm_carry, token0, rng,
     )
     (recon, exp_video, _, _, _, _, _, _), ys = jax.lax.scan(
@@ -513,7 +531,7 @@ def ppo_update(
 
     def critic_loss_fn(params):
         v = _policy_value(mods, cfg, params, obs, obs_tgt)
-        return jnp.mean((v - rtgs) ** 2)
+        return critic_loss(v, rtgs)
 
     def epoch(carry, key):
         a_p, a_opt, c_p, c_opt = carry
