@@ -181,11 +181,51 @@ def cmd_eval(argv: List[str]) -> int:
     return 0
 
 
+def cmd_pipeline(argv: List[str]) -> int:
+    """Full learning pipeline: pretrain -> imitate -> RL -> held-out eval
+    (the reference's three scripts chained by hand-edited checkpoint paths,
+    rovr.py:37-42, as one driver with parameters threaded by argument)."""
+    p = argparse.ArgumentParser("rovr_tpu pipeline")
+    p.add_argument("--pretrain_steps", type=int, default=2000)
+    p.add_argument("--imitation_steps", type=int, default=1500)
+    p.add_argument("--rl_iterations", type=int, default=300)
+    p.add_argument("--eval_videos", type=int, default=20)
+    p.add_argument("--vid_length", type=int, default=20)
+    p.add_argument("--rl_batch", type=int, default=4)
+    p.add_argument("--texture", type=float, default=0.5,
+                   help="mid-frequency texture blend for synthetic clips "
+                        "(makes context selection learnable)")
+    p.add_argument("--texture_vel", type=float, default=0.0,
+                   help="texture drift px/frame (0 = static, exact copy)")
+    p.add_argument("--out", type=str, default=None,
+                   help="write the full metric record (JSON) here")
+    _base_parser(p)
+    args = p.parse_args(argv)
+
+    from rovr_tpu.train import pipeline
+
+    cfg = _apply_base(
+        pipeline.default_config(args.vid_length, args.rl_batch), args
+    )
+    pipeline.run(
+        cfg,
+        pretrain_steps=args.pretrain_steps,
+        imitation_steps=args.imitation_steps,
+        rl_iterations=args.rl_iterations,
+        eval_videos=args.eval_videos,
+        texture=args.texture,
+        texture_vel=args.texture_vel,
+        out_path=args.out,
+    )
+    return 0
+
+
 COMMANDS = {
     "rl": cmd_rl,
     "pretrain": cmd_pretrain,
     "imitate": cmd_imitate,
     "eval": cmd_eval,
+    "pipeline": cmd_pipeline,
 }
 
 

@@ -31,8 +31,11 @@ FRAMES_PER_SECTION = 8
 # Explicit-dataset jittered box geometry (video_ds_explicit.py:36-60).
 EXPLICIT_BOX_H = 50   # 100 // 2
 EXPLICIT_BOX_W = 100  # 200 // 2
-EXPLICIT_JITTER_X = 12   # 25 // 2
-EXPLICIT_JITTER_Y = 62   # 125 // 2
+# randint(-25 // 2, 25 // 2) = randint(-13, 12): Python floor division makes
+# the jitter range ASYMMETRIC (video_ds_explicit.py:48-49, video_ds.py:46-47).
+# Verified bit-for-bit vs the imported reference in test_reference_parity.py.
+EXPLICIT_JITTER_X_LO, EXPLICIT_JITTER_X_HI = -13, 12
+EXPLICIT_JITTER_Y_LO, EXPLICIT_JITTER_Y_HI = -63, 62
 
 
 def raster_box(frame_index: int, h: int, w: int) -> Tuple[int, int, int, int]:
@@ -59,8 +62,8 @@ def jitter_box(
     slice_idx = frame_index % 8
     cx = slice_idx * slice_width + slice_width // 2
     cy = section_idx * section_height + section_height // 2
-    cx += int(rng.integers(-12, 13))
-    cy += int(rng.integers(-62, 63))
+    cx += int(rng.integers(EXPLICIT_JITTER_X_LO, EXPLICIT_JITTER_X_HI + 1))
+    cy += int(rng.integers(EXPLICIT_JITTER_Y_LO, EXPLICIT_JITTER_Y_HI + 1))
     start_x = max(0, cx - (225 // 2) // 2)
     end_x = min(w, start_x + 225 // 2)
     start_y = max(0, cy - (125 // 2) // 2)
@@ -91,9 +94,14 @@ def corrupt_frame(
     if difficulty >= 2:
         n = int(rng.integers(0, 5))
         if n < 1:
-            return np.clip(frame.astype(np.int32) + brightness, 0, 255).astype(
-                frame.dtype
-            ), mask
+            # Reference quirk (video_ds.py:26): `frame + brightness` runs in
+            # the frame's own dtype, so uint8 pixels WRAP (230+40 -> 14) and
+            # the subsequent clip is a no-op. Reproduced bit-for-bit
+            # (verified against the imported reference in
+            # tests/test_reference_parity.py).
+            return np.clip(
+                frame + np.asarray(brightness, frame.dtype), 0, 255
+            ).astype(frame.dtype), mask
         if n < 2:
             noise_matrix = rng.integers(
                 -noise, noise, frame.shape, dtype=np.int32
@@ -126,8 +134,8 @@ def corrupt_mask_explicit(
     slice_idx = location % 8
     cx = slice_idx * slice_width + slice_width // 2
     cy = section_idx * section_height + section_height // 2
-    cx += int(rng.integers(-EXPLICIT_JITTER_X, EXPLICIT_JITTER_X + 1))
-    cy += int(rng.integers(-EXPLICIT_JITTER_Y, EXPLICIT_JITTER_Y + 1))
+    cx += int(rng.integers(EXPLICIT_JITTER_X_LO, EXPLICIT_JITTER_X_HI + 1))
+    cy += int(rng.integers(EXPLICIT_JITTER_Y_LO, EXPLICIT_JITTER_Y_HI + 1))
     start_x = max(0, cx - EXPLICIT_BOX_W // 2)
     end_x = min(w, start_x + EXPLICIT_BOX_W)
     start_y = max(0, cy - EXPLICIT_BOX_H // 2)

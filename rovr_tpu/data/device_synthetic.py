@@ -26,14 +26,28 @@ import numpy as np
 from rovr_tpu.data import corruption, teacher
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def synthetic_clips(key, batch: int, height: int, width: int,
-                    num_frames: int = teacher.NUM_FRAMES) -> jnp.ndarray:
+                    num_frames: int = teacher.NUM_FRAMES,
+                    texture: float = 0.0,
+                    texture_vel: float = 1.5) -> jnp.ndarray:
     """(B, S, H, W, 3) float32 in [0,1]: moving gradients + drifting blobs.
 
     Device twin of synthetic.synthetic_clip (same structure, jax RNG).
+
+    `texture` > 0 blends in a per-clip mid-frequency random pattern (a
+    bilinear-upsampled 8-px random grid, rigidly drifting up to
+    `texture_vel` px/frame). Smooth gradients alone are interpolatable from
+    a masked box's surroundings, so an inpainting UNet never needs the
+    context frames and context *selection* becomes unlearnable;
+    mid-frequency texture is unpredictable across a 50-100 px box yet
+    copyable from any frame where that region is exposed — the regime the
+    explicit teacher scheme (video_ds_explicit.py:114-191) is built around.
+    `texture_vel=0` makes the texture static: copying from an exposing
+    context is then exact, the cleanest setting for demonstrating that
+    context selection (not motion compensation) drives reconstruction.
     """
-    ks = jax.random.split(key, 5)
+    ks = jax.random.split(key, 7)
     phase = jax.random.uniform(ks[0], (batch, 3), minval=0.0, maxval=2 * np.pi)
     speed = jax.random.uniform(ks[1], (batch, 3), minval=0.5, maxval=2.0)
     blob_xy = jax.random.uniform(ks[2], (batch, 4, 2), minval=0.2, maxval=0.8)
@@ -60,7 +74,41 @@ def synthetic_clips(key, batch: int, height: int, width: int,
         img = img / jnp.max(img, axis=(1, 2, 3), keepdims=True)
         return jnp.clip(img, 0.0, 1.0)
 
-    return jax.vmap(one)(phase, speed, blob_xy, blob_v, blob_col)
+    clips = jax.vmap(one)(phase, speed, blob_xy, blob_v, blob_col)
+
+    if texture > 0.0:
+        cell = 8
+        margin = int(np.ceil(texture_vel * max(1, num_frames - 1))) + cell
+        gh = (height + 2 * margin) // cell + 2
+        gw = (width + 2 * margin) // cell + 2
+        grid = jax.random.uniform(ks[5], (batch, gh, gw, 3))
+        tex = jax.image.resize(
+            grid, (batch, gh * cell, gw * cell, 3), method="bilinear"
+        )
+        # rigid integer drift: frame s shows the texture shifted by
+        # round(v * s) pixels — exactly copyable between frames
+        vel = jax.random.uniform(
+            ks[6], (batch, 2), minval=-texture_vel, maxval=texture_vel
+        )
+        t = jnp.arange(num_frames, dtype=jnp.float32)
+        dy = jnp.clip(jnp.round(vel[:, 0:1] * t[None]), -margin, margin
+                      ).astype(jnp.int32)  # (B, S)
+        dx = jnp.clip(jnp.round(vel[:, 1:2] * t[None]), -margin, margin
+                      ).astype(jnp.int32)
+
+        def shift_one(tex_b, dy_b, dx_b):
+            def crop(d):
+                dyi, dxi = d
+                return jax.lax.dynamic_slice(
+                    tex_b, (margin + dyi, margin + dxi, 0), (height, width, 3)
+                )
+            return jax.vmap(crop)((dy_b, dx_b))
+
+        tex_frames = jax.vmap(shift_one)(tex, dy, dx)  # (B, S, H, W, 3)
+        clips = jnp.clip(
+            clips * (1.0 - texture) + tex_frames * texture, 0.0, 1.0
+        )
+    return clips
 
 
 def _explicit_masks(key, frame_masks: jnp.ndarray, height: int, width: int):
@@ -79,12 +127,12 @@ def _explicit_masks(key, frame_masks: jnp.ndarray, height: int, width: int):
     cy = section_idx * section_height + section_height // 2
     kx, ky = jax.random.split(key)
     cx = cx + jax.random.randint(
-        kx, (b, s, k), -corruption.EXPLICIT_JITTER_X,
-        corruption.EXPLICIT_JITTER_X + 1,
+        kx, (b, s, k), corruption.EXPLICIT_JITTER_X_LO,
+        corruption.EXPLICIT_JITTER_X_HI + 1,
     )
     cy = cy + jax.random.randint(
-        ky, (b, s, k), -corruption.EXPLICIT_JITTER_Y,
-        corruption.EXPLICIT_JITTER_Y + 1,
+        ky, (b, s, k), corruption.EXPLICIT_JITTER_Y_LO,
+        corruption.EXPLICIT_JITTER_Y_HI + 1,
     )
     x0 = jnp.maximum(0, cx - corruption.EXPLICIT_BOX_W // 2)
     x1 = jnp.minimum(width, x0 + corruption.EXPLICIT_BOX_W)
@@ -100,15 +148,16 @@ def _explicit_masks(key, frame_masks: jnp.ndarray, height: int, width: int):
     return (~jnp.any(in_box, axis=2)).astype(jnp.float32)[..., None]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def explicit_batch_device(key, frame_masks, height: int, width: int):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def explicit_batch_device(key, frame_masks, height: int, width: int,
+                          texture: float = 0.0, texture_vel: float = 1.5):
     """(corrupted, original, masks) on device, given host teacher masks.
 
     frame_masks: (B, S, 4) int32. All (B, S, H, W, 3) float32.
     """
     b, s = frame_masks.shape[:2]
     k_clip, k_mask = jax.random.split(key)
-    clips = synthetic_clips(k_clip, b, height, width, s)
+    clips = synthetic_clips(k_clip, b, height, width, s, texture, texture_vel)
     masks = _explicit_masks(k_mask, frame_masks, height, width)
     return clips * masks, clips, jnp.broadcast_to(masks, clips.shape)
 
@@ -123,11 +172,14 @@ class DeviceSyntheticExplicit:
     """
 
     def __init__(self, batch: int, height: int = 256, width: int = 256,
-                 seed: int = 0):
+                 seed: int = 0, texture: float = 0.0,
+                 texture_vel: float = 1.5):
         self.batch = batch
         self.height = height
         self.width = width
         self.seed = seed
+        self.texture = texture
+        self.texture_vel = texture_vel
 
     def next(self, i: int):
         rng = np.random.default_rng((self.seed, i))
@@ -137,7 +189,8 @@ class DeviceSyntheticExplicit:
         )
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), i)
         corrupted, original, masks = explicit_batch_device(
-            key, frame_masks, self.height, self.width
+            key, frame_masks, self.height, self.width, self.texture,
+            self.texture_vel,
         )
         positives = np.stack([a.positives for a in assigns])
         negatives = np.stack([a.negatives for a in assigns])

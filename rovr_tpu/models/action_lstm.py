@@ -53,3 +53,29 @@ class ActionLSTM(nn.Module):
         carry, h = self.cell(carry, x)
         token = self.fc(h).reshape(b, self.token_size, self.token_size, 1)
         return carry, token
+
+
+def convert_torch_lstm_cell(state_dict, prefix: str = "lstm") -> dict:
+    """Map a torch nn.LSTMCell state dict (the reference's recurrence,
+    action_lstm.py:13) to flax OptimizedLSTMCell params.
+
+    torch packs gates row-wise as [i, f, g, o] in weight_ih (4H, In) /
+    weight_hh (4H, H) with two bias vectors; flax splits them into per-gate
+    Dense layers (input kernels bias-free, hidden kernels carrying the sum
+    of both torch biases). Gate activations/order agree (sigmoid i/f/o,
+    tanh g). Only the cell converts 1:1 — the surrounding token geometry
+    deviates by design (see module docstring)."""
+    import numpy as np
+
+    w_ih = np.asarray(state_dict[f"{prefix}.weight_ih"])
+    w_hh = np.asarray(state_dict[f"{prefix}.weight_hh"])
+    b_ih = np.asarray(state_dict[f"{prefix}.bias_ih"])
+    b_hh = np.asarray(state_dict[f"{prefix}.bias_hh"])
+    hidden = w_hh.shape[1]
+    gates = {"i": 0, "f": 1, "g": 2, "o": 3}
+    params = {}
+    for g, j in gates.items():
+        sl = slice(j * hidden, (j + 1) * hidden)
+        params[f"i{g}"] = {"kernel": w_ih[sl].T}
+        params[f"h{g}"] = {"kernel": w_hh[sl].T, "bias": b_ih[sl] + b_hh[sl]}
+    return params

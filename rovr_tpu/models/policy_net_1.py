@@ -101,6 +101,52 @@ class PolicyNet1(nn.Module):
         return self.logits(image, context)[:, 0]
 
 
+def convert_torch_state_dict(state_dict) -> dict:
+    """Map a reference PolicyNetwork1UNet checkpoint (policy_net_1.py:20-57)
+    to this param pytree: conv1-4 -> enc_0-3, upconv1-3 -> up_0-2,
+    conv5-7 -> dec_0-2, conv8/bn8 -> head1, conv9/bn9 -> head2, fc_final.
+    Conv2d OIHW -> HWIO; ConvTranspose2d IOHW -> flipped HWIO; BatchNorm2d
+    weight/bias -> BatchStatNorm scale/bias (running stats dropped — the
+    reference never leaves train mode, see layers.BatchStatNorm)."""
+    import numpy as np
+
+    def conv(name):
+        w = np.asarray(state_dict[f"{name}.weight"])
+        return {"kernel": w.transpose(2, 3, 1, 0),
+                "bias": np.asarray(state_dict[f"{name}.bias"])}
+
+    def bn(name):
+        return {"scale": np.asarray(state_dict[f"{name}.weight"]),
+                "bias": np.asarray(state_dict[f"{name}.bias"])}
+
+    def upconv(name):
+        w = np.asarray(state_dict[f"{name}.weight"])  # (in, out, kh, kw)
+        return {"kernel": np.ascontiguousarray(
+                    w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)),
+                "bias": np.asarray(state_dict[f"{name}.bias"])}
+
+    params = {}
+    for i in range(4):
+        params[f"enc_{i}"] = {"Conv_0": conv(f"conv{i + 1}"),
+                              "BatchStatNorm_0": bn(f"bn{i + 1}")}
+    for i in range(3):
+        params[f"up_{i}"] = {"ConvTranspose_0": upconv(f"upconv{i + 1}"),
+                             "BatchStatNorm_0": bn(f"bn_up{i + 1}")}
+        params[f"dec_{i}"] = {"Conv_0": conv(f"conv{i + 5}"),
+                              "BatchStatNorm_0": bn(f"bn{i + 5}")}
+    params["head1"] = conv("conv8")
+    params["head1_norm"] = bn("bn8")
+    params["head2"] = conv("conv9")
+    params["head2_norm"] = bn("bn9")
+    import numpy as np
+
+    params["fc_final"] = {
+        "kernel": np.asarray(state_dict["fc_final.weight"]).T,
+        "bias": np.asarray(state_dict["fc_final.bias"]),
+    }
+    return params
+
+
 def gumbel_softmax(logits: jnp.ndarray, rng, temperature: float) -> jnp.ndarray:
     """softmax((logits + Gumbel noise) / tau) — torch F.gumbel_softmax(hard=False)."""
     g = jax.random.gumbel(rng, logits.shape, dtype=logits.dtype)

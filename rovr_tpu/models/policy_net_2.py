@@ -121,3 +121,43 @@ class PolicyNet2(nn.Module):
         stacked = self._stacked(canvas, target_feat)
         stacked = standardize(stacked, axis=0, eps=0.001)
         return self.final_fc(stacked)[:, 0]
+
+
+def convert_torch_state_dict(state_dict) -> dict:
+    """Map a reference PolicyNetwork2UNet checkpoint (policy_net_2.py:41-69)
+    to this param pytree. video_conv Sequential indices 0/4/8/12 are convs,
+    1/5/9/13 BatchNorms, final_fc 0..4 bare Linears.
+
+    Layout note: torch flattens the conv trunk (B, 512, 1, 2) channel-major
+    while this module flattens NHWC (B, 1, 2, 512) spatial-major, so the
+    first 1024 input rows of final_fc's Dense_0 are permuted accordingly
+    (rows 1024..2047 — the target feature half — map through unchanged)."""
+    import numpy as np
+
+    params = {}
+    for j, seq in enumerate((0, 4, 8, 12)):
+        w = np.asarray(state_dict[f"video_conv.{seq}.weight"])
+        params[f"convs_{j}"] = {
+            "kernel": w.transpose(2, 3, 1, 0),
+            "bias": np.asarray(state_dict[f"video_conv.{seq}.bias"]),
+        }
+        params[f"norms_{j}"] = {
+            "scale": np.asarray(state_dict[f"video_conv.{seq + 1}.weight"]),
+            "bias": np.asarray(state_dict[f"video_conv.{seq + 1}.bias"]),
+        }
+    fc = {}
+    for j in range(5):
+        k = np.asarray(state_dict[f"final_fc.{j}.weight"]).T  # (in, out)
+        b = np.asarray(state_dict[f"final_fc.{j}.bias"])
+        if j == 0:
+            # torch row index for conv-half input (C=512, H=1, W=2):
+            # c*2 + w; ours: w*512 + c.
+            c_count, h_count, w_count = 512, 1, 2
+            perm = np.empty(c_count * h_count * w_count, np.int64)
+            for w_i in range(w_count):
+                for c_i in range(c_count):
+                    perm[w_i * c_count + c_i] = c_i * w_count + w_i
+            k = np.concatenate([k[:1024][perm], k[1024:]], axis=0)
+        fc[f"Dense_{j}"] = {"kernel": k, "bias": b}
+    params["final_fc"] = fc
+    return params

@@ -151,17 +151,23 @@ def _forward(x, kernel, bias, relu: bool, interpret: bool = False):
 
 
 def _reference(x, kernel, bias, relu: bool):
+    # Dtype-uniform on purpose: with preferred_element_type=f32 and bf16
+    # operands the conv's TRANSPOSE rule receives an f32 cotangent (the
+    # output astype transposes to a cast-to-f32) and builds a mixed-dtype
+    # conv, which lax rejects — breaking any backward through this path
+    # (the UNet pretrain step in bf16). TPU conv on bf16 operands still
+    # accumulates in f32 on the MXU; only the bias+ReLU epilogue rounds
+    # through bf16, matching the Pallas kernel within bf16 resolution.
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
     )
     y = jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), (1, 1), "SAME", dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
     )
-    y = y + bias.astype(jnp.float32)
+    y = y + bias.astype(y.dtype)
     if relu:
         y = jnp.maximum(y, 0.0)
-    return y.astype(x.dtype)
+    return y
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -57,10 +57,15 @@ def eval_step(
 ) -> Dict[str, jnp.ndarray]:
     """One fully-jitted eval pass over a clip batch.
 
-    batch = (corrupted, original) (B, S, H, W, 3). Returns the flow-recovery
-    metric O for agentic and sequential sampling plus PSNR/SSIM/LPIPS.
+    batch = (corrupted, original[, masks]) (B, S, H, W, 3). Returns the
+    flow-recovery metric O for agentic and sequential sampling plus
+    PSNR/SSIM/LPIPS; when masks ride along, also PSNR restricted to the
+    masked (corrupted-away) region — the sharpest readout of context
+    selection, since only a context frame that exposes the region can supply
+    its content.
     """
-    video, org_video = batch
+    video, org_video, *rest = batch
+    masks = rest[0] if rest else None
     # evaluation always runs the sequential baseline: the poster's headline
     # comparison is agentic vs sequential flow recovery (BASELINE.md)
     import dataclasses
@@ -85,7 +90,22 @@ def eval_step(
     lp = rl.per_frame_lpips(
         mods.rovr, state.lpips_params, out.reconstructed, org_video
     )
+    extra = {}
+    if masks is not None:
+        hole = 1.0 - masks  # 1 where the corruption removed content
+
+        def masked_psnr(x):
+            se = jnp.sum((x - org_video) ** 2 * hole, axis=(1, 2, 3, 4))
+            mse = se / jnp.maximum(jnp.sum(hole, axis=(1, 2, 3, 4)), 1.0)
+            return jnp.mean(-10.0 * jnp.log10(jnp.maximum(mse, 1e-10)))
+
+        extra = {
+            "Eval/masked_psnr_agentic": masked_psnr(out.reconstructed),
+            "Eval/masked_psnr_sequential": masked_psnr(out.experimental),
+            "Eval/masked_psnr_corrupted": masked_psnr(video),
+        }
     return {
+        **extra,
         "Eval/flow_recovery_agentic": jnp.mean(flow_recovery(f_agentic, f_org, f_bad)),
         "Eval/flow_recovery_sequential": jnp.mean(flow_recovery(f_seq, f_org, f_bad)),
         "Eval/psnr_agentic": jnp.mean(psnr(out.reconstructed, org_video)),
@@ -104,9 +124,21 @@ def run(
     state: Optional[rl.ROVRState] = None,
     flow_size: int = 256,
     log_cb=None,
+    data_texture: float = 0.0,
+    data_texture_vel: float = 1.5,
+    weights: str = "random",
 ) -> Dict[str, float]:
     """Evaluation driver: averages eval_step over `num_videos` rollouts
-    (the poster averages over 20 rollouts, BASELINE.md)."""
+    (the poster averages over 20 rollouts, BASELINE.md).
+
+    `weights` declares the provenance of the metric networks' parameters:
+    "converted" when real VGG/RAFT weights were loaded, "random" otherwise
+    (the no-egress default). With random weights the RAFT flow-recovery
+    numbers exercise the full metric plumbing but are NOT comparable to the
+    poster's 47.8%/65.4% — the result dict self-marks this
+    (Eval/metric_weights_random) and a warning is printed, so the numbers
+    cannot silently masquerade as poster-parity (README "Known environment
+    limits")."""
     import numpy as np
 
     from rovr_tpu.data.dataset import SyntheticExplicitDataset
@@ -138,30 +170,41 @@ def run(
         from rovr_tpu.data.device_synthetic import DeviceSyntheticExplicit
 
         h, w = cfg.data.frame_size
-        src = DeviceSyntheticExplicit(b, h, w, seed=cfg.run.seed)
+        src = DeviceSyntheticExplicit(b, h, w, seed=cfg.run.seed,
+                                      texture=data_texture,
+                                      texture_vel=data_texture_vel)
     for i in range(n_steps):
         if device_source:
-            corrupted, original, _, _, _ = src.next(i)
-            video, org = corrupted[:, :s], original[:, :s]
+            corrupted, original, masks, _, _ = src.next(i)
+            video, org, msk = corrupted[:, :s], original[:, :s], masks[:, :s]
         else:
             items = [dataset[(i * b + j) % len(dataset)] for j in range(b)]
             # slice to the configured horizon (the explicit dataset is pinned
             # to 20 frames, video_ds_explicit.py:18)
             video = jnp.asarray(np.stack([it[0][:s] for it in items]))
             org = jnp.asarray(np.stack([it[1][:s] for it in items]))
+            msk = jnp.asarray(np.stack([it[2][:s] for it in items]))
         if video.shape[1] != s:
             raise ValueError(
                 f"dataset clips have {video.shape[1]} frames; "
                 f"cfg.rl.vid_length={s} requires at least that many"
             )
         metrics = eval_step(
-            state, raft_params, mods, cfg, (video, org), flow_size
+            state, raft_params, mods, cfg, (video, org, msk), flow_size
         )
         for k, v in metrics.items():
             totals[k] = totals.get(k, 0.0) + float(v)
         if log_cb:
             log_cb(i, metrics)
     means = {k: v / n_steps for k, v in totals.items()}
+    means["Eval/metric_weights_random"] = 1.0 if weights == "random" else 0.0
+    if weights == "random":
+        print(
+            "[rovr_tpu.eval] WARNING: VGG-LPIPS/RAFT weights are RANDOM "
+            "(no-egress environment) — flow-recovery and LPIPS values "
+            "exercise the metric plumbing only and are not comparable to "
+            "the poster's numbers. PSNR/SSIM (weight-free) remain valid."
+        )
     writer.scalars(means, 0)
     writer.close()
     return means

@@ -148,7 +148,20 @@ def imitation_loss(
         return jnp.sum(per_pair)
 
     loss = pair_sum_bce(positives) * pos_w - pair_sum_bce(negatives) * neg_w
-    return loss, {"Loss/expert_loss": loss}
+
+    # Teacher top-2 accuracy: fraction of frames whose deterministic top-2
+    # logits form a pair in the positive solution table (order-insensitive).
+    # Pure diagnostic — the reference has no such readout; it makes the
+    # warm start's learning visible beyond the signed BCE value.
+    _, top2 = jax.lax.top_k(logits, 2)                      # (S, 2)
+    pos_table = jnp.zeros((s, n, n), jnp.bool_)
+    fr = jnp.arange(s)[:, None]
+    pos_table = pos_table.at[fr, positives[..., 0], positives[..., 1]].set(True)
+    pos_table = pos_table.at[fr, positives[..., 1], positives[..., 0]].set(True)
+    acc = jnp.mean(
+        pos_table[jnp.arange(s), top2[:, 0], top2[:, 1]].astype(jnp.float32)
+    )
+    return loss, {"Loss/expert_loss": loss, "Imitation/top2_acc": acc}
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -166,7 +179,8 @@ def train_step(state: ImitationState, batch, mods: ImitationModules):
 
 
 def run(cfg: Optional[Config] = None, dataset=None, steps: Optional[int] = None,
-        log_cb=None) -> ImitationState:
+        log_cb=None, data_texture: float = 0.0,
+        data_texture_vel: float = 1.5) -> ImitationState:
     """Driver: cycles the explicit dataset (synthetic fallback), jitted step,
     Orbax checkpoints every cfg.imitation.checkpoint_every."""
     from rovr_tpu.data.dataset import SyntheticExplicitDataset
@@ -188,7 +202,9 @@ def run(cfg: Optional[Config] = None, dataset=None, steps: Optional[int] = None,
         from rovr_tpu.data.device_synthetic import DeviceSyntheticExplicit
 
         h, w = cfg.data.frame_size
-        src = DeviceSyntheticExplicit(1, h, w, seed=cfg.run.seed)
+        src = DeviceSyntheticExplicit(1, h, w, seed=cfg.run.seed,
+                                      texture=data_texture,
+                                      texture_vel=data_texture_vel)
 
         class _DeviceItems:
             def __len__(self):

@@ -1,0 +1,206 @@
+"""End-to-end learning pipeline: UNet pretrain -> imitation warm start ->
+PPO -> held-out evaluation — with every stage's warm-started parameters
+threaded into the next.
+
+This is the reference's full three-script workflow as one driver
+(reference: rovr/train_local_net_unet.py -> rovr/imitation_learning.py ->
+rovr/test.py, chained there by hand-edited hardcoded checkpoint paths,
+rovr.py:37-42); here each stage returns its state and the next stage plugs
+the parameters in by argument (rl.init_state's warm-start kwargs).
+
+The pipeline exists to *demonstrate learning*, the poster's core claim
+("Global Network Results", agentic 65.4% vs sequential 47.8% flow recovery,
+BASELINE.md): on textured synthetic clips with the explicit teacher masking
+scheme, it produces
+
+  1. pretrain:  MSE+LPIPS loss decreasing (UNet learns to inpaint),
+  2. imitation: teacher top-2 accuracy far above chance (policy learns which
+     frames expose the masked regions),
+  3. RL:        PPO running stably from the warm start, mean reward > 0,
+  4. eval:      agentic masked-region PSNR > sequential masked-region PSNR
+     on HELD-OUT clips — the agentic-vs-sequential gap, measured where it
+     must appear (only a context frame that exposes a region can supply its
+     content; (t-1, t-2) contexts are random groups under the explicit
+     scheme and usually leave regions unexposed, teacher.py).
+
+All numbers ride on PSNR/MSE (weight-free) — meaningful despite the
+no-egress random VGG/RAFT weights; LPIPS/flow values are plumbing-only and
+self-marked as such (evaluate.run weights="random").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rovr_tpu.config import Config
+
+
+def _collect(curve: List[Dict[str, float]], every: int = 1):
+    """log_cb that appends (step, metrics) rows to `curve`."""
+
+    def cb(i, metrics):
+        curve.append({"step": int(i), **{k: float(v) for k, v in metrics.items()}})
+
+    return cb
+
+
+def default_config(vid_length: int = 20, rl_batch: int = 4) -> Config:
+    c = Config()
+    return c.replace(
+        rl=dataclasses.replace(
+            c.rl, vid_length=vid_length, time_steps=vid_length,
+            batch_size=rl_batch,
+        ),
+        data=dataclasses.replace(c.data, vid_length=vid_length),
+        run=dataclasses.replace(c.run, checkpoint_every=50, log_every=5),
+    )
+
+
+def run(
+    cfg: Optional[Config] = None,
+    pretrain_steps: int = 2000,
+    imitation_steps: int = 1500,
+    rl_iterations: int = 300,
+    eval_videos: int = 20,
+    texture: float = 0.5,
+    texture_vel: float = 0.0,
+    pretrain_clips: int = 32,
+    out_path: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Run all four stages; return (and optionally write) the full record:
+    stage metric curves + held-out eval for the trained policy, a
+    random-policy control (same pretrained UNet, untrained actor), and the
+    sequential baseline riding along in each."""
+    from rovr_tpu.data.device_synthetic import DeviceSyntheticExplicit
+    from rovr_tpu.train import evaluate, imitation, pretrain_local, rl
+    from rovr_tpu.utils.compilation_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+    cfg = cfg or default_config()
+    record: Dict[str, Any] = {
+        "config": {
+            "vid_length": cfg.rl.vid_length,
+            "time_steps": cfg.rl.time_steps,
+            "rl_batch": cfg.rl.batch_size,
+            "frame_size": list(cfg.data.frame_size),
+            "texture": texture,
+            "texture_vel": texture_vel,
+            "pretrain_steps": pretrain_steps,
+            "imitation_steps": imitation_steps,
+            "rl_iterations": rl_iterations,
+            "eval_videos": eval_videos,
+        }
+    }
+    t0 = time.time()
+
+    # ---- Stage 1: UNet pretrain on the SAME distribution RL will see:
+    # textured clips with explicit-scheme masks (the reference pretrains on
+    # the random-mask dataset instead, train_local_net_unet.py:59-61 — the
+    # explicit masks are a strict subset geometry-wise). Teacher-positive
+    # context pairs ride along so half the samples train copy-from-exposing-
+    # context (see pretrain_local.sample_batch).
+    h, w = cfg.data.frame_size
+    s = cfg.rl.vid_length
+    src = DeviceSyntheticExplicit(4, h, w, seed=cfg.run.seed + 77,
+                                 texture=texture, texture_vel=texture_vel)
+    vids, origs, poss = [], [], []
+    for i in range(max(1, pretrain_clips // 4)):
+        corrupted, original, _, positives, _ = src.next(i)
+        vids.append(corrupted[:, :s])
+        origs.append(original[:, :s])
+        poss.append(jnp.asarray(positives[:, :s], jnp.int32))
+    data = (
+        jnp.concatenate(vids), jnp.concatenate(origs), jnp.concatenate(poss)
+    )
+
+    pre_curve: List[Dict[str, float]] = []
+    state_p = pretrain_local.run(
+        cfg, data=data, steps=pretrain_steps, log_cb=_collect(pre_curve)
+    )
+    record["pretrain"] = pre_curve
+    print(f"[pipeline] pretrain done in {time.time() - t0:.0f}s: "
+          f"first total {pre_curve[0]['Loss/total_loss']:.4f} -> "
+          f"last {pre_curve[-1]['Loss/total_loss']:.4f}")
+
+    # ---- Stage 2: imitation warm start of the context policy.
+    t1 = time.time()
+    im_curve: List[Dict[str, float]] = []
+    state_i = imitation.run(
+        cfg, steps=imitation_steps, log_cb=_collect(im_curve),
+        data_texture=texture, data_texture_vel=texture_vel,
+    )
+    record["imitation"] = im_curve
+    print(f"[pipeline] imitation done in {time.time() - t1:.0f}s: "
+          f"top2_acc {im_curve[0].get('Imitation/top2_acc', 0):.3f} -> "
+          f"{im_curve[-1].get('Imitation/top2_acc', 0):.3f}")
+
+    # ---- Stage 3: PPO from the warm start (frozen pretrained UNet; the
+    # pretrain stage's LPIPS params become the reward metric so reward and
+    # pretrain loss agree).
+    t2 = time.time()
+    rl_curve: List[Dict[str, float]] = []
+    warm = dict(
+        local_net_params=state_p.params,
+        lpips_params=state_p.lpips_params,
+        vp_params=state_i.vp_params,
+        actor2_params=state_i.pn2_params,
+    )
+    rl_state = rl.run(
+        cfg, iterations=rl_iterations, log_cb=_collect(rl_curve),
+        init_params=warm, data_texture=texture,
+        data_texture_vel=texture_vel,
+    )
+    record["rl"] = rl_curve
+    print(f"[pipeline] RL done in {time.time() - t2:.0f}s: "
+          f"mean_reward {rl_curve[0]['Episode/mean_reward']:.4f} -> "
+          f"{rl_curve[-1]['Episode/mean_reward']:.4f}")
+
+    # ---- Stage 4: held-out eval — trained policy vs random-policy control,
+    # sequential baseline riding along in both.
+    t3 = time.time()
+    eval_cfg = cfg.replace(
+        run=dataclasses.replace(cfg.run, seed=cfg.run.seed + 10_000)
+    )
+    mods_eval = evaluate.make_modules(eval_cfg)
+    control_state = rl.init_state(
+        eval_cfg, mods_eval.rovr, jax.random.PRNGKey(cfg.run.seed + 5),
+        local_net_params=state_p.params,
+        lpips_params=state_p.lpips_params,
+        vp_params=state_i.vp_params,
+    )
+    record["eval_trained"] = evaluate.run(
+        eval_cfg, num_videos=eval_videos, state=rl_state,
+        data_texture=texture, data_texture_vel=texture_vel,
+        weights="random",
+    )
+    record["eval_random_policy"] = evaluate.run(
+        eval_cfg, num_videos=eval_videos, state=control_state,
+        data_texture=texture, data_texture_vel=texture_vel,
+        weights="random",
+    )
+    record["wall_seconds"] = time.time() - t0
+    et, er = record["eval_trained"], record["eval_random_policy"]
+    print(
+        f"[pipeline] eval done in {time.time() - t3:.0f}s:\n"
+        f"  masked PSNR  agentic(trained) {et.get('Eval/masked_psnr_agentic', float('nan')):.3f}"
+        f"  agentic(random) {er.get('Eval/masked_psnr_agentic', float('nan')):.3f}"
+        f"  sequential {et.get('Eval/masked_psnr_sequential', float('nan')):.3f}"
+        f"  corrupted {et.get('Eval/masked_psnr_corrupted', float('nan')):.3f}\n"
+        f"  PSNR         agentic(trained) {et['Eval/psnr_agentic']:.3f}"
+        f"  sequential {et['Eval/psnr_sequential']:.3f}"
+        f"  corrupted {et['Eval/psnr_corrupted']:.3f}"
+    )
+
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"[pipeline] record written to {out_path}")
+    return record

@@ -81,19 +81,38 @@ def sample_batch(
     orig_video: jnp.ndarray,
     batch_size: int,
     legacy_target_offset: bool = False,
+    positives: jnp.ndarray = None,
+    positive_prob: float = 0.5,
 ):
     """Gather (image, context1, context2, target) like ImageDataset
     (train_local_net_unet.py:26-57) but on device with explicit keys.
 
     video/orig_video: (L, S, H, W, 3). f ~ U[2, S-1]; contexts f-1, f-2.
+
+    `positives` (L, S, P, 2) int32 — the explicit teacher's positive context
+    pairs (video_ds_explicit.py:133-163). When given, each sample uses a
+    random positive pair as its contexts with probability `positive_prob`
+    (sequential f-1/f-2 otherwise). The reference's random-mask dataset
+    gives sequential contexts partial hole exposure for free (its raster
+    mask tracks frame_index, video_ds.py:62-87); under the explicit
+    group-mask scheme sequential contexts rarely expose the target's holes,
+    so mixing in exposing pairs is what lets the UNet learn copy-from-
+    context at all — the capability agentic selection exploits.
     """
     l_count, s_count = video.shape[0], video.shape[1]
-    kl, kf = jax.random.split(rng)
+    kl, kf, kp, km = jax.random.split(rng, 4)
     ls = jax.random.randint(kl, (batch_size,), 0, l_count)
     fs = jax.random.randint(kf, (batch_size,), 2, s_count)
+    c1_idx, c2_idx = fs - 2, fs - 1
+    if positives is not None:
+        pi = jax.random.randint(kp, (batch_size,), 0, positives.shape[2])
+        pair = positives[ls, fs, pi]  # (B, 2)
+        use_pos = jax.random.uniform(km, (batch_size,)) < positive_prob
+        c1_idx = jnp.where(use_pos, jnp.minimum(pair[:, 0], s_count - 1), c1_idx)
+        c2_idx = jnp.where(use_pos, jnp.minimum(pair[:, 1], s_count - 1), c2_idx)
     image = video[ls, fs]
-    context1 = video[ls, fs - 2]
-    context2 = video[ls, fs - 1]
+    context1 = video[ls, c1_idx]
+    context2 = video[ls, c2_idx]
     target = orig_video[ls, fs - 1] if legacy_target_offset else orig_video[ls, fs]
     return image, jnp.stack([context1, context2], axis=1), target
 
@@ -126,8 +145,11 @@ def train_step(
     batch_size: int,
 ):
     """One fully-fused step: sample -> forward -> LPIPS -> backward -> Adam."""
-    video, orig_video = data
-    batch = sample_batch(rng, video, orig_video, batch_size)
+    video, orig_video, *rest = data
+    batch = sample_batch(
+        rng, video, orig_video, batch_size,
+        positives=rest[0] if rest else None,
+    )
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params, state.lpips_params, mods, batch, state.step
     )
@@ -144,8 +166,10 @@ def viz_batch(state: PretrainState, rng, mods: PretrainModules, data):
     """(input | ctx1 | ctx2 | target | output) strip for TensorBoard — the
     reference's every-200-steps image grid (train_local_net_unet.py:117-119).
     Returns (H, 5*W, 3) in [0, 1] for one sampled example."""
-    video, orig_video = data
-    image, context, target = sample_batch(rng, video, orig_video, 1)
+    video, orig_video, *rest = data
+    image, context, target = sample_batch(
+        rng, video, orig_video, 1, positives=rest[0] if rest else None
+    )
     y_hat = mods.local_net.apply({"params": state.params}, image, context)
     strip = jnp.concatenate(
         [image[0], context[0, 0], context[0, 1], target[0],

@@ -178,6 +178,7 @@ def init_state(
     local_net_params=None,
     vp_params=None,
     actor2_params=None,
+    lpips_params=None,
 ) -> ROVRState:
     """Fresh state; pretrained/warm-started params plug in by argument
     (replaces the reference's hardcoded checkpoint paths, rovr.py:38-42).
@@ -225,7 +226,7 @@ def init_state(
         jnp.zeros((1, 3), jnp.int32), jnp.zeros((1, 3, m.canvas_tile, m.canvas_tile)),
     )["params"]
     ln_p = local_net_params or mods.local_net.init(ks[6], target, context)["params"]
-    lp_p = mods.lpips.init(ks[7], target, target)["params"]
+    lp_p = lpips_params or mods.lpips.init(ks[7], target, target)["params"]
     return ROVRState(
         step=jnp.zeros((), jnp.int32),
         actor2_params=a2_p,
@@ -623,10 +624,19 @@ def run(
     dataset=None,
     iterations: Optional[int] = None,
     log_cb=None,
+    init_params: Optional[Dict[str, Any]] = None,
+    data_texture: float = 0.0,
+    data_texture_vel: float = 1.5,
 ) -> ROVRState:
     """RL training driver (the reference's test.py main loop, test.py:64-93):
     per-iteration train step over prefetched clips, Orbax checkpoints,
-    structured metrics."""
+    structured metrics.
+
+    `init_params`: optional kwargs for init_state — pretrained
+    local_net_params / vp_params / actor2_params / lpips_params, the plug-in
+    replacement for the reference's hardcoded warm-start checkpoint loads
+    (rovr.py:37-42). `data_texture` forwards to the on-device synthetic
+    source (textured clips make context selection learnable)."""
     import numpy as np
 
     from rovr_tpu.data.dataset import SyntheticExplicitDataset
@@ -640,7 +650,7 @@ def run(
     rng = jax.random.PRNGKey(cfg.run.seed)
     rng, init_key = jax.random.split(rng)
     mods = make_modules(cfg)
-    state = init_state(cfg, mods, init_key)
+    state = init_state(cfg, mods, init_key, **(init_params or {}))
 
     import os
 
@@ -668,7 +678,9 @@ def run(
     if device_source:
         from rovr_tpu.data.device_synthetic import DeviceSyntheticExplicit
 
-        src = DeviceSyntheticExplicit(b, h, w, seed=cfg.run.seed)
+        src = DeviceSyntheticExplicit(b, h, w, seed=cfg.run.seed,
+                                      texture=data_texture,
+                                      texture_vel=data_texture_vel)
 
         def batches():
             for i in range(iterations):

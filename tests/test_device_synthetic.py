@@ -68,10 +68,10 @@ class TestExplicitBatchDevice:
             for loc in assign.frame_masks[f]:
                 cy = int(loc) // 8 * sec_h + sec_h // 2
                 cx = int(loc) % 8 * sl_w + sl_w // 2
-                y_lo = cy - corruption.EXPLICIT_JITTER_Y - corruption.EXPLICIT_BOX_H
-                y_hi = cy + corruption.EXPLICIT_JITTER_Y + corruption.EXPLICIT_BOX_H
-                x_lo = cx - corruption.EXPLICIT_JITTER_X - corruption.EXPLICIT_BOX_W
-                x_hi = cx + corruption.EXPLICIT_JITTER_X + corruption.EXPLICIT_BOX_W
+                y_lo = cy + corruption.EXPLICIT_JITTER_Y_LO - corruption.EXPLICIT_BOX_H
+                y_hi = cy + corruption.EXPLICIT_JITTER_Y_HI + corruption.EXPLICIT_BOX_H
+                x_lo = cx + corruption.EXPLICIT_JITTER_X_LO - corruption.EXPLICIT_BOX_W
+                x_hi = cx + corruption.EXPLICIT_JITTER_X_HI + corruption.EXPLICIT_BOX_W
                 ok |= (
                     (holes[:, 0] >= y_lo) & (holes[:, 0] <= y_hi)
                     & (holes[:, 1] >= x_lo) & (holes[:, 1] <= x_hi)
