@@ -88,6 +88,28 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / steps
     fps = batch * vid_length / dt
 
+    # MFU from XLA's own cost model: flops of the compiled step executable
+    # over achieved step time and the chip's peak bf16 throughput.
+    flops = mfu = None
+    try:
+        video0, org0 = host_batches[0]
+        compiled = rl.train_step.lower(
+            state, mods, cfg, jnp.asarray(video0), jnp.asarray(org0), keys[0]
+        ).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+        peak = {
+            # dense peak FLOP/s (bf16) per chip
+            "TPU v4": 275e12, "TPU v5 lite": 197e12, "TPU v5e": 197e12,
+            "TPU v5": 459e12, "TPU v5p": 459e12, "TPU v6e": 918e12,
+            "TPU v6 lite": 918e12,
+        }.get(jax.devices()[0].device_kind)
+        if flops and peak:
+            mfu = flops / dt / peak
+    except Exception:
+        pass
+
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "benchmarks", "torch_cpu_baseline.json",
@@ -109,6 +131,8 @@ def main() -> None:
             "vid_length": vid_length,
             "device": str(jax.devices()[0]).split("(")[0],
             "torch_cpu_frames_per_sec": round(torch_fps, 4) if vs else None,
+            "flops_per_step": flops,
+            "mfu": round(mfu, 4) if mfu is not None else None,
         },
     }))
 

@@ -77,6 +77,12 @@ class ModelConfig:
     attn_impl: str = "auto"
     # Compute dtype for conv/matmul-heavy paths. Params stay float32.
     compute_dtype: str = "bfloat16"
+    # Feature-extractor trunk: "resnet50" (reference parity) or "tiny"
+    # (small trunk; exists so the test suite's tiny configs compile fast).
+    backbone: str = "resnet50"
+    # LPIPS VGG stage plan ((features, n_convs) per stage); None = real
+    # VGG16. Tests shrink it — same tap/normalize/lin math, tiny compile.
+    lpips_stages: Optional[Tuple[Tuple[int, int], ...]] = None
 
 
 @dataclasses.dataclass(frozen=True)

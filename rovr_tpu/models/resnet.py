@@ -97,6 +97,29 @@ class ResNet50(nn.Module):
         return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
 
 
+class TinyBackbone(nn.Module):
+    """Small frozen conv trunk with the ResNet50 interface ((B,H,W,3) ->
+    pooled (B, features*4) float32). Exists for fast tests: the full
+    ResNet-50 graph dominates XLA compile time at tiny shapes
+    (ModelConfig.backbone="tiny" selects it; never used in shipped configs).
+    """
+
+    features: int = 32
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        for i, stride in enumerate((4, 2, 2)):
+            x = nn.Conv(
+                self.features * (2 ** i), (3, 3), strides=(stride, stride),
+                padding=1, dtype=self.dtype, param_dtype=jnp.float32,
+                name=f"conv{i + 1}",
+            )(x)
+            x = nn.relu(x)
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+
+
 def convert_torch_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict:
     """Map a torchvision resnet50 state_dict to this module's param pytree.
 

@@ -32,15 +32,21 @@ _STAGES = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
 
 
 class VGG16Features(nn.Module):
-    """VGG16 trunk returning the 5 LPIPS feature taps, NHWC."""
+    """VGG16 trunk returning the per-stage LPIPS feature taps, NHWC.
+
+    `stages` defaults to the real VGG16 plan; tests shrink it (fewer/narrower
+    stages) to cut XLA compile time by an order of magnitude while keeping
+    the exact tap/normalize/lin math.
+    """
 
     dtype: Any = jnp.bfloat16
+    stages: Tuple[Tuple[int, int], ...] = _STAGES
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         taps = []
         x = x.astype(self.dtype)
-        for s, (feats, n_convs) in enumerate(_STAGES):
+        for s, (feats, n_convs) in enumerate(self.stages):
             for c in range(n_convs):
                 x = nn.Conv(
                     feats, (3, 3), padding=1, dtype=self.dtype,
@@ -48,7 +54,7 @@ class VGG16Features(nn.Module):
                 )(x)
                 x = nn.relu(x)
             taps.append(x)
-            if s < len(_STAGES) - 1:
+            if s < len(self.stages) - 1:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return taps
 
@@ -63,15 +69,16 @@ class LPIPS(nn.Module):
     per distance."""
 
     dtype: Any = jnp.bfloat16
+    stages: Tuple[Tuple[int, int], ...] = _STAGES
 
     def setup(self):
-        self.vgg = VGG16Features(dtype=self.dtype, name="vgg")
+        self.vgg = VGG16Features(dtype=self.dtype, stages=self.stages, name="vgg")
         self.lins = [
             self.param(
                 f"lin{i}", nn.initializers.uniform(scale=0.1),
                 (feats,), jnp.float32,
             )
-            for i, (feats, _) in enumerate(_STAGES)
+            for i, (feats, _) in enumerate(self.stages)
         ]
 
     def taps(self, x: jnp.ndarray, normalize: bool = True) -> List[jnp.ndarray]:

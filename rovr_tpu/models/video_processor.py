@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rovr_tpu.models.resnet import ResNet50
+from rovr_tpu.models.resnet import ResNet50, TinyBackbone
 
 
 class VideoProcessor(nn.Module):
@@ -40,9 +40,16 @@ class VideoProcessor(nn.Module):
     tiles_per_row: int = 5
     feature_dim: int = 1024
     dtype: Any = jnp.bfloat16
+    # "resnet50" (reference parity, resnet_extractor.py:8-14) or "tiny"
+    # (small trunk for fast test compiles; see resnet.TinyBackbone).
+    backbone_name: str = "resnet50"
 
     def setup(self):
-        self.backbone = ResNet50(dtype=self.dtype)
+        self.backbone = (
+            TinyBackbone(dtype=self.dtype)
+            if self.backbone_name == "tiny"
+            else ResNet50(dtype=self.dtype)
+        )
         self.feat_head = nn.Dense(self.feature_dim, param_dtype=jnp.float32)
         self.tile_head = nn.Dense(self.tile * self.tile, param_dtype=jnp.float32)
 

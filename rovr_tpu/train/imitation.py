@@ -54,7 +54,7 @@ def make_modules(cfg: Config, dtype=None) -> ImitationModules:
             tile=cfg.model.canvas_tile,
             tiles_per_row=cfg.model.canvas_tiles_per_row,
             feature_dim=cfg.model.feature_dim,
-            dtype=dt,
+            dtype=dt, backbone_name=cfg.model.backbone,
         ),
         tx=optax.adam(cfg.imitation.lr),
     )

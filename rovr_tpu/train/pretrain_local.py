@@ -52,7 +52,7 @@ def make_modules(cfg: Config, dtype=None) -> PretrainModules:
     dt = dtype if dtype is not None else jnp.bfloat16
     return PretrainModules(
         local_net=LocalNetUNet(channels=cfg.model.local_net_channels, dtype=dt),
-        lpips=LPIPS(dtype=dt),
+        lpips=LPIPS(dtype=dt, **(dict(stages=cfg.model.lpips_stages) if cfg.model.lpips_stages else {})),
         tx=optax.adam(cfg.pretrain.lr),
     )
 

@@ -153,7 +153,7 @@ def make_modules(cfg: Config, dtype=None, mesh=None) -> ROVRModules:
         vp=VideoProcessor(
             canvas_size=m.canvas_size, tile=m.canvas_tile,
             tiles_per_row=m.canvas_tiles_per_row, feature_dim=m.feature_dim,
-            dtype=dt,
+            dtype=dt, backbone_name=m.backbone,
         ),
         actor1=PolicyNet1(**pn1),
         critic1=PolicyNet1(**pn1, is_critic=True),
@@ -164,7 +164,7 @@ def make_modules(cfg: Config, dtype=None, mesh=None) -> ROVRModules:
             tile=m.canvas_tile,
         ),
         local_net=LocalNetUNet(channels=m.local_net_channels, dtype=dt),
-        lpips=LPIPS(dtype=dt),
+        lpips=LPIPS(dtype=dt, **(dict(stages=m.lpips_stages) if m.lpips_stages else {})),
         actor_tx=optax.adam(cfg.rl.actor_lr),
         critic_tx=optax.adam(cfg.rl.critic_lr),
     )

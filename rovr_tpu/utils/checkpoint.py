@@ -69,11 +69,39 @@ class CheckpointManager:
         self._mgr.save(step, args=ocp.args.StandardSave(chunked_device_get(state)))
         return True
 
-    def restore(self, step: Optional[int] = None, template: Any = None) -> Any:
+    def restore(
+        self,
+        step: Optional[int] = None,
+        template: Any = None,
+        shardings: Any = None,
+    ) -> Any:
+        """Restore the latest (or given) step.
+
+        `template` pins the pytree structure/dtypes. `shardings` (requires
+        `template`) makes Orbax materialize each leaf DIRECTLY as a sharded
+        jax.Array — either one jax.sharding.Sharding broadcast to every leaf
+        or a matching pytree of them — so a mesh train step
+        (make_sharded_train_step / parallel.tp) can resume without a
+        host-replicated detour. The reference's only restore path is
+        hand-edited hardcoded paths (rovr.py:38-42).
+        """
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             return None
         if template is not None:
+            if shardings is not None:
+                import jax
+
+                if isinstance(shardings, jax.sharding.Sharding):
+                    sh = shardings
+                    shardings = jax.tree.map(lambda _: sh, template)
+                template = jax.tree.map(
+                    lambda x, s: jax.ShapeDtypeStruct(
+                        jax.numpy.shape(x), x.dtype, sharding=s
+                    ),
+                    template,
+                    shardings,
+                )
             return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         return self._mgr.restore(step)
 

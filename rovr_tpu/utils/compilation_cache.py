@@ -39,3 +39,46 @@ def enable(cache_dir: str | None = None) -> None:
     # Cache even executables whose compile was fast but whose trace is hot.
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _enabled = True
+
+
+def _machine_key() -> str:
+    """Fingerprint of this host's CPU (model name + feature flags), so a CPU
+    cache is never shared between hosts with different ISAs."""
+    import hashlib
+    import platform
+
+    bits = [platform.machine(), platform.processor()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    bits.append(line.strip())
+                    if len(bits) >= 4:
+                        break
+    except OSError:
+        pass
+    return hashlib.sha1("|".join(bits).encode()).hexdigest()[:12]
+
+
+def enable_cpu_cache() -> None:
+    """Persistent compilation cache for the CPU backend, keyed per machine.
+
+    CPU AOT executables bake in host ISA features (enable() refuses them for
+    that reason — the axon tunnel compiles on a different host than it
+    executes). Here the key pins the cache to THIS machine's CPU, which is
+    safe: the test suite compiles and runs on the same host. Cuts repeat
+    suite runs from minutes of XLA compiles to cache loads.
+    """
+    global _enabled
+    if _enabled or os.environ.get("ROVR_NO_COMPILE_CACHE") == "1":
+        return
+    import jax
+
+    path = os.path.join(
+        os.path.expanduser("~/.cache/rovr_tpu"), f"xla-cpu-{_machine_key()}"
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _enabled = True

@@ -15,3 +15,16 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Machine-keyed persistent XLA cache: repeat suite runs load executables
+# instead of recompiling (the suite's cost is almost all XLA compiles).
+from rovr_tpu.utils.compilation_cache import enable_cpu_cache  # noqa: E402
+
+enable_cpu_cache()
+
+
+def tiny_model_overrides() -> dict:
+    """ModelConfig overrides that slash XLA compile time for tests: the tiny
+    feature-extractor trunk and a 2-stage LPIPS plan (same math, tiny
+    graphs). Shared by each test file's tiny_config."""
+    return dict(backbone="tiny", lpips_stages=((8, 1), (16, 1)))

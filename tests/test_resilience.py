@@ -13,6 +13,7 @@ import jax
 import numpy as np
 import pytest
 
+from conftest import tiny_model_overrides
 from rovr_tpu.config import Config
 from rovr_tpu.data.dataset import DevicePrefetcher
 
@@ -23,6 +24,7 @@ def tiny_cfg(tmp_path):
         data=dataclasses.replace(c.data, frame_size=(32, 32), vid_length=4),
         model=dataclasses.replace(
             c.model,
+            **tiny_model_overrides(),
             local_net_channels=(4, 8, 16, 32),
             pn2_num_frames=4, pn1_num_frames=4, pn2_fc_dims=(64, 32),
             canvas_size=64, canvas_tile=32, canvas_tiles_per_row=2,
@@ -87,6 +89,48 @@ class TestRunResilient:
         from rovr_tpu.utils.checkpoint import latest_checkpoint_dir
 
         assert latest_checkpoint_dir(str(tmp_path), "rovr_rl") is not None
+
+    def test_sharded_restore_resumes_on_mesh(self, tmp_path):
+        """Kill/resume with SHARDED state on the 8-device CPU mesh: save a
+        mesh-trained state, restore it directly to NamedShardings (no
+        host-replicated detour), and continue stepping on the mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from rovr_tpu.parallel.mesh import make_mesh
+        from rovr_tpu.train import rl
+        from rovr_tpu.utils.checkpoint import CheckpointManager
+
+        cfg = tiny_cfg(tmp_path)
+        cfg = cfg.replace(rl=dataclasses.replace(cfg.rl, batch_size=8))
+        mesh = make_mesh()
+        mods = rl.make_modules(cfg, dtype=jax.numpy.float32)
+        state = rl.init_state(cfg, mods, jax.random.PRNGKey(0))
+        rep = NamedSharding(mesh, P())
+        state = jax.device_put(state, rep)
+        step_fn = rl.make_sharded_train_step(mesh, mods, cfg)
+        h, w = cfg.data.frame_size
+        video = jax.random.uniform(jax.random.PRNGKey(1), (8, 4, h, w, 3))
+        state, _, _ = step_fn(state, video, video, jax.random.PRNGKey(2))
+
+        ckpt = CheckpointManager(str(tmp_path / "sharded_ckpt"))
+        ckpt.save(0, state, force=True)
+        ckpt.wait()
+        # simulate a fresh process: template from a re-init, restore sharded
+        template = rl.init_state(cfg, mods, jax.random.PRNGKey(0))
+        restored = ckpt.restore(template=template, shardings=rep)
+        assert restored is not None
+        leaf = jax.tree_util.tree_leaves(restored.actor2_params)[0]
+        assert leaf.sharding == rep
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(jax.tree_util.tree_leaves(
+                state.actor2_params)[0]), rtol=0, atol=0,
+        )
+        # the restored state steps on the mesh without re-layout
+        state2, metrics, _ = step_fn(
+            restored, video, video, jax.random.PRNGKey(3)
+        )
+        assert int(state2.step) == int(state.step) + 1
+        assert all(np.isfinite(float(v)) for v in metrics.values())
 
     def test_gives_up_after_max_restarts(self, tmp_path):
         from rovr_tpu.train import rl

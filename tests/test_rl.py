@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from conftest import tiny_model_overrides
 from rovr_tpu.config import Config
 from rovr_tpu.ops.rewards import rewards_to_go
 from rovr_tpu.train import rl
@@ -24,6 +25,7 @@ def tiny_config(use_policy1: bool = False, context_policy: str = "canvas") -> Co
         data=dataclasses.replace(c.data, frame_size=(32, 32), vid_length=4),
         model=dataclasses.replace(
             c.model,
+            **tiny_model_overrides(),
             pn2_num_frames=4,
             pn1_num_frames=4,
             canvas_size=64,

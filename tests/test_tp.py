@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 from jax.sharding import Mesh, PartitionSpec as P
 
+from conftest import tiny_model_overrides
 from rovr_tpu.config import Config
 from rovr_tpu.parallel import tp
 from rovr_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -24,6 +25,7 @@ def tiny_cfg() -> Config:
         data=dataclasses.replace(c.data, frame_size=(32, 32), vid_length=4),
         model=dataclasses.replace(
             c.model,
+            **tiny_model_overrides(),
             local_net_channels=(4, 8, 16, 32),
             pn2_num_frames=4, pn1_num_frames=4, pn2_fc_dims=(64, 32),
             canvas_size=64, canvas_tile=32, canvas_tiles_per_row=2,

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from conftest import tiny_model_overrides
 from rovr_tpu.config import Config
 from rovr_tpu.train import imitation, pretrain_local
 
@@ -25,6 +26,7 @@ def tiny_config() -> Config:
         data=dataclasses.replace(c.data, frame_size=(32, 32), vid_length=4),
         model=dataclasses.replace(
             c.model,
+            **tiny_model_overrides(),
             local_net_channels=(4, 8, 16, 32),
             pn2_num_frames=4,
             pn1_num_frames=4,
