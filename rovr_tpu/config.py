@@ -38,6 +38,12 @@ class DataConfig:
     num_workers: int = 8
     prefetch_depth: int = 2
     use_native_loader: bool = True  # C++ decode/corrupt path when available
+    # Synthetic explicit masks: cell-aligned overlap-free boxes instead of
+    # the reference's 100x50 jittered boxes (which overlap across DIFFERENT
+    # raster locations, making teacher-pair exposure only ~85% pixel-true
+    # and compressing the context-selection signal — measured in
+    # benchmarks/context_sensitivity.py). False = reference geometry parity.
+    synthetic_overlap_free: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,11 +81,21 @@ class ModelConfig:
     # (sequence-parallel over the mesh's model axis; pass the mesh to
     # rl.make_modules).
     attn_impl: str = "auto"
+    # > 0: pipeline-parallel encoder stack (parallel/pp.py) — attn_depth
+    # blocks split into mesh.shape[model] stages, this many microbatches
+    # streamed per step. 0 = sequential (single-chip) application.
+    attn_pp_microbatches: int = 0
     # Compute dtype for conv/matmul-heavy paths. Params stay float32.
     compute_dtype: str = "bfloat16"
     # Feature-extractor trunk: "resnet50" (reference parity) or "tiny"
     # (small trunk; exists so the test suite's tiny configs compile fast).
     backbone: str = "resnet50"
+    # 1 = reference's global average pool (resnet_extractor.py:13); g > 1
+    # pools the backbone's final map to a (g, g) grid instead — required for
+    # the teacher task to be learnable from RANDOM (no-egress) backbone
+    # weights, where globally pooled features lose mask positions
+    # (models/resnet.ResNet50 docstring).
+    backbone_spatial_pool: int = 1
     # LPIPS VGG stage plan ((features, n_convs) per stage); None = real
     # VGG16. Tests shrink it — same tap/normalize/lin math, tiny compile.
     lpips_stages: Optional[Tuple[Tuple[int, int], ...]] = None
@@ -126,6 +142,11 @@ class RLConfig:
     # train path leaves it off; evaluation (train/evaluate.py) turns it on
     # for the poster's agentic-vs-sequential comparison.
     sequential_baseline: bool = False
+    # Deterministic (no-Gumbel) top-2 context selection in the rollout.
+    # Training always samples (parity: rovr.py:141); evaluation flips this
+    # on via eval_greedy — the standard deterministic policy readout.
+    greedy: bool = False
+    eval_greedy: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -156,6 +177,25 @@ class ImitationConfig:
     negative_weight: float = 1.0   # imitation_learning.py:94
     checkpoint_every: int = 250
     steps: int = 1000
+    # Also train the VideoProcessor's projection heads (NOT the backbone —
+    # it stays frozen either way). The reference trains only pn2
+    # (imitation_learning.py:98-100) because its backbone is pretrained;
+    # with random no-egress weights the fixed random projections are the
+    # bottleneck, so the heads learn here too. False = strict parity.
+    train_vp: bool = True
+    # Imitation objective:
+    #   "bce"     — reference parity (imitation_learning.py:88-94): multi-hot
+    #               BCE averaged over ALL positive pairs (+w) and negative
+    #               pairs (-w). Measured pathology: averaging over 16 pairs
+    #               only teaches per-frame marginal frequency; its own
+    #               OPTIMUM's greedy top-2 exposes just 0.65 of the hole —
+    #               below random pairs (0.76) — because two individually
+    #               frequent frames usually cover the same regions.
+    #   "pair_ce" — softmax cross-entropy toward ONE canonical teacher pair
+    #               (positives[:, 0]): the optimum puts the top-2 exactly on
+    #               that pair (measured: exposure 1.00, pair-acc 1.00).
+    #               Documented deviation (docs/migration.md).
+    loss_mode: str = "bce"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -111,33 +111,51 @@ def synthetic_clips(key, batch: int, height: int, width: int,
     return clips
 
 
-def _explicit_masks(key, frame_masks: jnp.ndarray, height: int, width: int):
+def _explicit_masks(key, frame_masks: jnp.ndarray, height: int, width: int,
+                    overlap_free: bool = False):
     """Jittered box masks for the explicit scheme, fully broadcast.
 
     frame_masks: (B, S, 4) int mask locations. Returns (B, S, H, W, 1)
     float32, 1 = intact. Geometry parity: corruption.corrupt_mask_explicit
     (video_ds_explicit.py:36-60) with jax-drawn jitter.
+
+    `overlap_free=True` replaces the reference's 100x50 jittered boxes with
+    the full raster CELL of each location (no jitter). The reference
+    geometry makes boxes at *different* locations overlap heavily (box width
+    100 px spans ~3 of the 32 px slice columns), so "this pair exposes every
+    masked region" is only ~85% true at pixel level even for teacher pairs —
+    which compresses the context-selection reward. Cell-aligned boxes make
+    the group-exposure property pixel-exact (teacher pairs expose 100%),
+    the cleanest setting for demonstrating learned context selection.
+    Default False = reference parity.
     """
     b, s, k = frame_masks.shape
     section_height = height // 3
     slice_width = width // 8
     section_idx = frame_masks // 8
     slice_idx = frame_masks % 8
-    cx = slice_idx * slice_width + slice_width // 2
-    cy = section_idx * section_height + section_height // 2
-    kx, ky = jax.random.split(key)
-    cx = cx + jax.random.randint(
-        kx, (b, s, k), corruption.EXPLICIT_JITTER_X_LO,
-        corruption.EXPLICIT_JITTER_X_HI + 1,
-    )
-    cy = cy + jax.random.randint(
-        ky, (b, s, k), corruption.EXPLICIT_JITTER_Y_LO,
-        corruption.EXPLICIT_JITTER_Y_HI + 1,
-    )
-    x0 = jnp.maximum(0, cx - corruption.EXPLICIT_BOX_W // 2)
-    x1 = jnp.minimum(width, x0 + corruption.EXPLICIT_BOX_W)
-    y0 = jnp.maximum(0, cy - corruption.EXPLICIT_BOX_H // 2)
-    y1 = jnp.minimum(height, y0 + corruption.EXPLICIT_BOX_H)
+    if overlap_free:
+        x0 = slice_idx * slice_width
+        x1 = x0 + slice_width
+        y0 = section_idx * section_height
+        y1 = y0 + section_height
+        x0, x1, y0, y1 = (jnp.asarray(v) for v in (x0, x1, y0, y1))
+    else:
+        cx = slice_idx * slice_width + slice_width // 2
+        cy = section_idx * section_height + section_height // 2
+        kx, ky = jax.random.split(key)
+        cx = cx + jax.random.randint(
+            kx, (b, s, k), corruption.EXPLICIT_JITTER_X_LO,
+            corruption.EXPLICIT_JITTER_X_HI + 1,
+        )
+        cy = cy + jax.random.randint(
+            ky, (b, s, k), corruption.EXPLICIT_JITTER_Y_LO,
+            corruption.EXPLICIT_JITTER_Y_HI + 1,
+        )
+        x0 = jnp.maximum(0, cx - corruption.EXPLICIT_BOX_W // 2)
+        x1 = jnp.minimum(width, x0 + corruption.EXPLICIT_BOX_W)
+        y0 = jnp.maximum(0, cy - corruption.EXPLICIT_BOX_H // 2)
+        y1 = jnp.minimum(height, y0 + corruption.EXPLICIT_BOX_H)
     ys = jnp.arange(height)[:, None]   # (H, 1)
     xs = jnp.arange(width)[None, :]    # (1, W)
     # (B, S, K, H, W) box membership via broadcasted comparisons
@@ -148,9 +166,10 @@ def _explicit_masks(key, frame_masks: jnp.ndarray, height: int, width: int):
     return (~jnp.any(in_box, axis=2)).astype(jnp.float32)[..., None]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def explicit_batch_device(key, frame_masks, height: int, width: int,
-                          texture: float = 0.0, texture_vel: float = 1.5):
+                          texture: float = 0.0, texture_vel: float = 1.5,
+                          overlap_free: bool = False):
     """(corrupted, original, masks) on device, given host teacher masks.
 
     frame_masks: (B, S, 4) int32. All (B, S, H, W, 3) float32.
@@ -158,7 +177,7 @@ def explicit_batch_device(key, frame_masks, height: int, width: int,
     b, s = frame_masks.shape[:2]
     k_clip, k_mask = jax.random.split(key)
     clips = synthetic_clips(k_clip, b, height, width, s, texture, texture_vel)
-    masks = _explicit_masks(k_mask, frame_masks, height, width)
+    masks = _explicit_masks(k_mask, frame_masks, height, width, overlap_free)
     return clips * masks, clips, jnp.broadcast_to(masks, clips.shape)
 
 
@@ -173,13 +192,14 @@ class DeviceSyntheticExplicit:
 
     def __init__(self, batch: int, height: int = 256, width: int = 256,
                  seed: int = 0, texture: float = 0.0,
-                 texture_vel: float = 1.5):
+                 texture_vel: float = 1.5, overlap_free: bool = False):
         self.batch = batch
         self.height = height
         self.width = width
         self.seed = seed
         self.texture = texture
         self.texture_vel = texture_vel
+        self.overlap_free = overlap_free
 
     def next(self, i: int):
         rng = np.random.default_rng((self.seed, i))
@@ -190,7 +210,7 @@ class DeviceSyntheticExplicit:
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), i)
         corrupted, original, masks = explicit_batch_device(
             key, frame_masks, self.height, self.width, self.texture,
-            self.texture_vel,
+            self.texture_vel, self.overlap_free,
         )
         positives = np.stack([a.positives for a in assigns])
         negatives = np.stack([a.negatives for a in assigns])

@@ -53,6 +53,11 @@ class AttentionContextPolicy(nn.Module):
     # sequence is sharded over (parallel/ring_attention.py)
     mesh: Any = None
     seq_axis: Any = None
+    # pipeline parallelism (parallel/pp.py): > 0 pipelines the encoder
+    # stack over the mesh's model axis — `depth` blocks split into
+    # mesh.shape[model] stages, this many microbatches streamed through.
+    # Requires mesh; depth must divide by the model-axis size.
+    pp_microbatches: int = 0
 
     def setup(self):
         p = self.patch_tokens
@@ -82,6 +87,38 @@ class AttentionContextPolicy(nn.Module):
         self.head = nn.Dense(1, param_dtype=jnp.float32, name="head")
         self.value_head = nn.Dense(1, param_dtype=jnp.float32, name="value_head")
 
+    def _use_pp(self) -> bool:
+        """Pipeline the encoder stack? Only when configured, bound to a mesh
+        whose model axis is >1, and not during init (the sequential path must
+        run once to create the block params the pipeline then reads)."""
+        if self.pp_microbatches <= 0 or self.mesh is None or self.is_initializing():
+            return False
+        from rovr_tpu.parallel.mesh import MODEL_AXIS
+
+        return MODEL_AXIS in self.mesh.shape and self.mesh.shape[MODEL_AXIS] > 1
+
+    def _apply_blocks_pipelined(self, x: jnp.ndarray) -> jnp.ndarray:
+        """GPipe the EncoderBlock stack over the mesh's model axis
+        (parallel/pp.py): each device owns depth/S blocks; microbatches of
+        the clip batch stream through, activations rotating via ppermute."""
+        from rovr_tpu.models.attention import EncoderBlock
+        from rovr_tpu.parallel.mesh import MODEL_AXIS
+        from rovr_tpu.parallel.pp import pipeline_layers
+
+        # Unbound single-block template: same hyperparams as self.blocks but
+        # never ring (the sequence stays whole inside a pipeline stage).
+        template = EncoderBlock(
+            self.hidden_dim, self.num_heads, dtype=self.dtype,
+            attn_impl="jnp" if self.attn_impl == "ring" else self.attn_impl,
+            parent=None,  # detached template, applied with explicit params
+        )
+        layer_params = [blk.variables["params"] for blk in self.blocks]
+        return pipeline_layers(
+            lambda p, a: template.apply({"params": p}, a),
+            layer_params, x, self.mesh, axis=MODEL_AXIS,
+            microbatches=self.pp_microbatches,
+        )
+
     def _encode(self, feats: jnp.ndarray, target_idx: jnp.ndarray) -> jnp.ndarray:
         """feats (B, S, feature_dim), target_idx (B,) -> frame embeddings
         (B, S, hidden)."""
@@ -92,8 +129,11 @@ class AttentionContextPolicy(nn.Module):
         mark = jax.nn.one_hot(target_idx, s, dtype=jnp.float32)  # (B, S)
         tok = tok + mark[:, :, None, None] * self.target_emb
         x = tok.reshape(b, s * p, self.hidden_dim).astype(self.dtype)
-        for blk in self.blocks:
-            x = blk(x)
+        if self._use_pp():
+            x = self._apply_blocks_pipelined(x)
+        else:
+            for blk in self.blocks:
+                x = blk(x)
         # pool patch tokens back to frames
         x = x.reshape(b, s, p, self.hidden_dim).mean(axis=2)
         return x.astype(jnp.float32)
@@ -108,13 +148,18 @@ class AttentionContextPolicy(nn.Module):
         logits = logits * (1.0 - onehot)
         return standardize(logits, axis=1, eps=0.1)
 
-    def __call__(self, feats, target_idx, rng):
-        return self.act(feats, target_idx, rng)
+    def __call__(self, feats, target_idx, rng, greedy=False):
+        return self.act(feats, target_idx, rng, greedy)
 
-    def act(self, feats, target_idx, rng) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Top-2 context frames + joint logprob (policy_net_2.py:94-102)."""
+    def act(self, feats, target_idx, rng, greedy=False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Top-2 context frames + joint logprob (policy_net_2.py:94-102).
+        `greedy=True` (static) drops the Gumbel noise — deterministic top-2,
+        the policy-evaluation readout (see PolicyNet2.act)."""
         logits = self.masked_logits(feats, target_idx)
-        logp = gumbel_log_softmax(logits, rng, self.temperature)
+        if greedy:
+            logp = jax.nn.log_softmax(logits / self.temperature, axis=1)
+        else:
+            logp = gumbel_log_softmax(logits, rng, self.temperature)
         top = jax.lax.top_k(logp, 2)
         logprob = jnp.sum(top[0], axis=1) / 2 + LN2
         return jax.lax.stop_gradient(top[1]), jax.lax.stop_gradient(logprob)

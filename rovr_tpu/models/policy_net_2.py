@@ -81,14 +81,20 @@ class PolicyNet2(nn.Module):
         logits = logits * (1.0 - onehot)  # scatter_(1, target, 0)
         return standardize(logits, axis=1, eps=0.1)
 
-    def __call__(self, canvas, target_feat, target_idx, rng):
-        return self.act(canvas, target_feat, target_idx, rng)
+    def __call__(self, canvas, target_feat, target_idx, rng, greedy=False):
+        return self.act(canvas, target_feat, target_idx, rng, greedy)
 
-    def act(self, canvas, target_feat, target_idx, rng):
+    def act(self, canvas, target_feat, target_idx, rng, greedy=False):
         """Sample top-2 context frames. Returns (actions (B,2), logprob (B,)).
-        Parity: policy_net_2.py:94-102."""
+        Parity: policy_net_2.py:94-102. `greedy=True` (static) drops the
+        Gumbel noise — deterministic top-2 of the policy marginals, the
+        standard policy-evaluation readout (documented deviation: the
+        reference samples everywhere, rovr.py:141); training never uses it."""
         logits = self.masked_logits(canvas, target_feat, target_idx)
-        logp = gumbel_log_softmax(logits, rng, self.temperature)
+        if greedy:
+            logp = jax.nn.log_softmax(logits / self.temperature, axis=1)
+        else:
+            logp = gumbel_log_softmax(logits, rng, self.temperature)
         top = jax.lax.top_k(logp, 2)
         logprob = jnp.sum(top[0], axis=1) / 2 + LN2
         return (

@@ -45,6 +45,22 @@ class FrozenBatchNorm(nn.Module):
         return y.astype(x.dtype if self.dtype is None else self.dtype)
 
 
+def _pool_spatial(x: jnp.ndarray, g: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, C) for g=1 (global mean) or (B, g*g*C) for g>1
+    (adaptive average pool to a (g, g) grid, torch AdaptiveAvgPool2d(g)
+    semantics: unequal bins when H % g != 0)."""
+    if g <= 1:
+        return jnp.mean(x, axis=(1, 2))
+    b, h, w, c = x.shape
+    he = np.linspace(0, h, g + 1).round().astype(int)
+    we = np.linspace(0, w, g + 1).round().astype(int)
+    cells = [
+        jnp.mean(x[:, he[i]:he[i + 1], we[j]:we[j + 1], :], axis=(1, 2))
+        for i in range(g) for j in range(g)
+    ]
+    return jnp.concatenate(cells, axis=-1)
+
+
 class Bottleneck(nn.Module):
     features: int
     strides: int = 1
@@ -70,13 +86,25 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """NHWC ResNet-50 trunk -> (B, 2048) pooled features."""
+    """NHWC ResNet-50 trunk -> pooled features.
+
+    `spatial_pool=1` (default) is the reference's global average pool
+    (resnet_extractor.py:13 AdaptiveAvgPool2d(1)) -> (B, 2048).
+    `spatial_pool=g>1` average-pools the final 7x7 map to a (g, g) grid and
+    flattens -> (B, g*g*2048). Rationale: with PRETRAINED weights global
+    pooling keeps enough semantic signal for the policies, but this
+    environment has no egress (random init), and globally pooled RANDOM
+    features are nearly position-invariant — mask locations, which the
+    teacher task is about, become linearly undecodable (probe: R^2 ~ 0).
+    Coarse spatial pooling restores position information regardless of
+    weight provenance."""
 
     dtype: Any = jnp.bfloat16
+    spatial_pool: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: (B, 224, 224, 3) in [0, 1] -> (B, 2048)."""
+        """x: (B, 224, 224, 3) in [0, 1] -> (B, 2048*spatial_pool^2)."""
         x = x.astype(self.dtype)
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
@@ -93,8 +121,9 @@ class ResNet50(nn.Module):
                     name=f"layer{stage + 1}_{block}",
                 )(x)
             features *= 2
-        # global average pool (torchvision AdaptiveAvgPool2d(1))
-        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        # global average pool (torchvision AdaptiveAvgPool2d(1)), or a
+        # coarse (g, g) spatial pool (see class docstring)
+        return _pool_spatial(x.astype(jnp.float32), self.spatial_pool)
 
 
 class TinyBackbone(nn.Module):
@@ -106,6 +135,7 @@ class TinyBackbone(nn.Module):
 
     features: int = 32
     dtype: Any = jnp.bfloat16
+    spatial_pool: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -117,7 +147,7 @@ class TinyBackbone(nn.Module):
                 name=f"conv{i + 1}",
             )(x)
             x = nn.relu(x)
-        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        return _pool_spatial(x.astype(jnp.float32), self.spatial_pool)
 
 
 def convert_torch_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict:

@@ -43,15 +43,39 @@ class VideoProcessor(nn.Module):
     # "resnet50" (reference parity, resnet_extractor.py:8-14) or "tiny"
     # (small trunk for fast test compiles; see resnet.TinyBackbone).
     backbone_name: str = "resnet50"
+    # backbone pooling grid: 1 = reference's global pool; g > 1 keeps a
+    # (g, g) spatial grid (see resnet.ResNet50.spatial_pool). With g > 1 the
+    # projection heads are SHARED per cell (Dense C -> dim/g^2, concatenated
+    # in cell order): position information rides the concatenation, and the
+    # heads stay ~130k params instead of the g^2*C x dim dense (33M at g=4)
+    # — which also keeps optimizer moments + checkpoints small.
+    spatial_pool: int = 1
 
     def setup(self):
         self.backbone = (
-            TinyBackbone(dtype=self.dtype)
+            TinyBackbone(dtype=self.dtype, spatial_pool=self.spatial_pool)
             if self.backbone_name == "tiny"
-            else ResNet50(dtype=self.dtype)
+            else ResNet50(dtype=self.dtype, spatial_pool=self.spatial_pool)
         )
-        self.feat_head = nn.Dense(self.feature_dim, param_dtype=jnp.float32)
-        self.tile_head = nn.Dense(self.tile * self.tile, param_dtype=jnp.float32)
+        g2 = self.spatial_pool ** 2
+        if g2 > 1:
+            if self.feature_dim % g2 or self.tile % self.spatial_pool:
+                raise ValueError(
+                    "feature_dim must divide by spatial_pool^2 and tile by "
+                    f"spatial_pool (got {self.feature_dim}, {self.tile}, "
+                    f"g={self.spatial_pool})"
+                )
+            self.feat_head = nn.Dense(
+                self.feature_dim // g2, param_dtype=jnp.float32
+            )
+            self.tile_head = nn.Dense(
+                (self.tile // self.spatial_pool) ** 2, param_dtype=jnp.float32
+            )
+        else:
+            self.feat_head = nn.Dense(self.feature_dim, param_dtype=jnp.float32)
+            self.tile_head = nn.Dense(
+                self.tile * self.tile, param_dtype=jnp.float32
+            )
 
     def encode(self, frames: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """frames (N, 224, 224, 3) -> (tiles (N, tile, tile), feats (N, D)).
@@ -61,6 +85,21 @@ class VideoProcessor(nn.Module):
         projection (resnet_extractor.py:9).
         """
         pooled = jax.lax.stop_gradient(self.backbone(frames))
+        g = self.spatial_pool
+        if g > 1:
+            # (N, g*g*C) -> (N, g*g, C); shared per-cell heads; cell order
+            # (row-major) carries the position information.
+            n = pooled.shape[0]
+            cells = pooled.reshape(n, g * g, -1)
+            feats = self.feat_head(cells).reshape(n, self.feature_dim)
+            t = self.tile // g
+            # per-cell (t, t) patches assembled into the (tile, tile) grid at
+            # their cell's position — tiles stay spatially faithful
+            tiles = self.tile_head(cells).reshape(n, g, g, t, t)
+            tiles = tiles.transpose(0, 1, 3, 2, 4).reshape(
+                n, self.tile, self.tile
+            )
+            return tiles, feats
         feats = self.feat_head(pooled)
         tiles = self.tile_head(pooled).reshape(-1, self.tile, self.tile)
         return tiles, feats

@@ -93,3 +93,28 @@ def flow_magnitudes(flows: jnp.ndarray) -> jnp.ndarray:
     flows: (P, H, W, 2) -> (P,).
     """
     return jnp.sqrt(jnp.sum(flows.astype(jnp.float32) ** 2, axis=(-3, -2, -1)))
+
+
+def context_exposure(hole, tgt_idx, pairs):
+    """Exposure rate of chosen context pairs: the fraction of the targets'
+    hole pixels visible in >= 1 chosen context frame.
+
+    Only an exposing context can supply a hole's content (the premise of the
+    explicit teacher scheme, video_ds_explicit.py:114-191), so this is the
+    direct readout of context-selection quality; teacher pairs score 1.0
+    under overlap-free mask geometry. Computed from pixel masks — no teacher
+    tables needed, works for any dataset.
+
+    hole: (B, S, H, W, 1), 1 where corruption removed content.
+    tgt_idx: (T, B) target frame per step; pairs: (T, B, 2) chosen contexts.
+    """
+    import jax
+
+    def one(tgt_t, pair_t):
+        ht = jax.vmap(lambda h, i: h[i])(hole, tgt_t)
+        ha = jax.vmap(lambda h, i: h[i])(hole, pair_t[:, 0])
+        hb = jax.vmap(lambda h, i: h[i])(hole, pair_t[:, 1])
+        return jnp.sum(ht * (1.0 - ha * hb)), jnp.sum(ht)
+
+    num, den = jax.vmap(one)(tgt_idx, pairs)
+    return jnp.sum(num) / jnp.maximum(jnp.sum(den), 1.0)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from rovr_tpu.config import Config
 from rovr_tpu.models.raft import RAFTSmall, pairwise_flows, total_flow_magnitude
-from rovr_tpu.ops.metrics import flow_recovery, psnr, ssim
+from rovr_tpu.ops.metrics import context_exposure, flow_recovery, psnr, ssim
 from rovr_tpu.train import rl
 
 
@@ -71,7 +71,9 @@ def eval_step(
     import dataclasses
 
     cfg = cfg.replace(
-        rl=dataclasses.replace(cfg.rl, sequential_baseline=True)
+        rl=dataclasses.replace(
+            cfg.rl, sequential_baseline=True, greedy=cfg.rl.eval_greedy
+        )
     )
     out = rl.rollout(
         state, mods.rovr, cfg, video, org_video, jax.random.PRNGKey(cfg.run.seed)
@@ -99,10 +101,20 @@ def eval_step(
             mse = se / jnp.maximum(jnp.sum(hole, axis=(1, 2, 3, 4)), 1.0)
             return jnp.mean(-10.0 * jnp.log10(jnp.maximum(mse, 1e-10)))
 
+        # Context-exposure rate (ops/metrics.context_exposure): the direct
+        # readout of context-selection quality for agentic vs sequential.
+        hole1 = hole[..., :1]  # (B, S, H, W, 1)
+        s = video.shape[1]
+        tgt_idx = out.traj.target_idx  # (T, B)
+        seq_pairs = jnp.stack([(tgt_idx - 2) % s, (tgt_idx - 1) % s], axis=-1)
         extra = {
             "Eval/masked_psnr_agentic": masked_psnr(out.reconstructed),
             "Eval/masked_psnr_sequential": masked_psnr(out.experimental),
             "Eval/masked_psnr_corrupted": masked_psnr(video),
+            "Eval/exposure_agentic": context_exposure(
+                hole1, tgt_idx, out.traj.actions),
+            "Eval/exposure_sequential": context_exposure(
+                hole1, tgt_idx, seq_pairs),
         }
     return {
         **extra,
@@ -172,7 +184,8 @@ def run(
         h, w = cfg.data.frame_size
         src = DeviceSyntheticExplicit(b, h, w, seed=cfg.run.seed,
                                       texture=data_texture,
-                                      texture_vel=data_texture_vel)
+                                      texture_vel=data_texture_vel,
+                                      overlap_free=cfg.data.synthetic_overlap_free)
     for i in range(n_steps):
         if device_source:
             corrupted, original, masks, _, _ = src.next(i)

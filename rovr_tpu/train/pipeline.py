@@ -57,8 +57,30 @@ def default_config(vid_length: int = 20, rl_batch: int = 4) -> Config:
         rl=dataclasses.replace(
             c.rl, vid_length=vid_length, time_steps=vid_length,
             batch_size=rl_batch,
+            # The attention context policy compares the target's token
+            # against every frame's token — the relational form the teacher
+            # task has (which frames expose the target's masked regions);
+            # the canvas MLP must squeeze that comparison through a global
+            # 2048-d bottleneck and warm-starts far slower.
+            context_policy="attention",
         ),
-        data=dataclasses.replace(c.data, vid_length=vid_length),
+        # Overlap-free cell-aligned masks: the reference's 100x50 jittered
+        # boxes overlap across DIFFERENT raster locations, leaving teacher
+        # pairs only ~85% pixel-exposing and compressing the selection
+        # signal to ~0.6 dB (measured: benchmarks/context_sensitivity.py,
+        # results/context_sensitivity_t0.5_v0.0.json). Cell-aligned boxes
+        # make group exposure pixel-exact.
+        data=dataclasses.replace(c.data, vid_length=vid_length,
+                                 synthetic_overlap_free=True),
+        # (4,4) spatial backbone pooling: with the environment's random
+        # (no-egress) backbone weights, globally pooled features lose mask
+        # POSITIONS and the teacher task becomes unlearnable (probe in
+        # models/resnet.ResNet50 docstring); the spatial grid restores it.
+        model=dataclasses.replace(c.model, backbone_spatial_pool=4),
+        # Canonical-pair CE: the reference's all-pairs BCE optimum tops out
+        # at 0.65 exposure — below random (see ImitationConfig.loss_mode) —
+        # so the warm start would not move the needle it exists to move.
+        imitation=dataclasses.replace(c.imitation, loss_mode="pair_ce"),
         run=dataclasses.replace(c.run, checkpoint_every=50, log_every=5),
     )
 
@@ -69,7 +91,7 @@ def run(
     imitation_steps: int = 1500,
     rl_iterations: int = 300,
     eval_videos: int = 20,
-    texture: float = 0.5,
+    texture: float = 1.0,
     texture_vel: float = 0.0,
     pretrain_clips: int = 32,
     out_path: Optional[str] = None,

@@ -125,16 +125,21 @@ def make_modules(cfg: Config, dtype=None, mesh=None) -> ROVRModules:
     if cfg.rl.context_policy == "attention":
         from rovr_tpu.models.policy_attention import AttentionContextPolicy
 
-        if m.attn_impl == "ring" and mesh is None:
-            raise ValueError("attn_impl='ring' requires make_modules(mesh=...)")
+        needs_mesh = m.attn_impl == "ring" or m.attn_pp_microbatches > 0
+        if needs_mesh and mesh is None:
+            raise ValueError(
+                "attn_impl='ring' / attn_pp_microbatches>0 require "
+                "make_modules(mesh=...)"
+            )
         attn = dict(
             num_frames=m.pn2_num_frames, feature_dim=m.feature_dim,
             hidden_dim=m.attn_hidden_dim, num_heads=m.attn_heads,
             depth=m.attn_depth, patch_tokens=m.attn_patch_tokens,
             temperature=m.pn2_temperature, dtype=dt,
             attn_impl=m.attn_impl,
-            mesh=mesh if m.attn_impl == "ring" else None,
+            mesh=mesh if needs_mesh else None,
             seq_axis=cfg.mesh.model_axis if m.attn_impl == "ring" else None,
+            pp_microbatches=m.attn_pp_microbatches,
         )
         actor2 = AttentionContextPolicy(**attn)
         critic2 = AttentionContextPolicy(**attn, is_critic=True)
@@ -154,6 +159,7 @@ def make_modules(cfg: Config, dtype=None, mesh=None) -> ROVRModules:
             canvas_size=m.canvas_size, tile=m.canvas_tile,
             tiles_per_row=m.canvas_tiles_per_row, feature_dim=m.feature_dim,
             dtype=dt, backbone_name=m.backbone,
+            spatial_pool=m.backbone_spatial_pool,
         ),
         actor1=PolicyNet1(**pn1),
         critic1=PolicyNet1(**pn1, is_critic=True),
@@ -245,12 +251,14 @@ def init_state(
 
 
 def _policy_act(mods: ROVRModules, cfg: Config, params, obs, tgt, key):
-    """Dispatch actor2.act over the configured context policy."""
+    """Dispatch actor2.act over the configured context policy.
+    cfg.rl.greedy (static) selects the deterministic no-Gumbel readout."""
+    g = cfg.rl.greedy
     if cfg.rl.context_policy == "attention":
         (feats,) = obs
-        return mods.actor2.apply({"params": params}, feats, tgt, key)
+        return mods.actor2.apply({"params": params}, feats, tgt, key, g)
     canvas, tgt_feat = obs
-    return mods.actor2.apply({"params": params}, canvas, tgt_feat, tgt, key)
+    return mods.actor2.apply({"params": params}, canvas, tgt_feat, tgt, key, g)
 
 
 def _policy_logprob(mods: ROVRModules, cfg: Config, params, obs, tgt, acs, key):
@@ -569,18 +577,27 @@ def _train_step(
     video: jnp.ndarray,
     org_video: jnp.ndarray,
     rng,
+    masks: Optional[jnp.ndarray] = None,
 ):
     """One fully-jitted RL step: rollout + PPO (ROVR.train, rovr.py:68-78).
 
     Returns (state, metrics, reconstructed). The reconstructed/experimental
     videos are returned for eval/metric consumers; XLA dead-code-eliminates
-    them when the caller drops them.
+    them when the caller drops them. `masks` (B,S,H,W,C), when given, adds
+    the Episode/exposure diagnostic (ops/metrics.context_exposure) — the
+    readout that makes PPO's context-selection learning visible.
     """
     k_roll, k_ppo = jax.random.split(rng)
     out = rollout(state, mods, cfg, video, org_video, k_roll)
     state, ppo_metrics = ppo_update(state, mods, cfg, out.traj, k_ppo)
     metrics = dict(out.metrics)
     metrics.update(ppo_metrics)
+    if masks is not None:
+        from rovr_tpu.ops.metrics import context_exposure
+
+        metrics["Episode/exposure"] = context_exposure(
+            1.0 - masks[..., :1], out.traj.target_idx, out.traj.actions
+        )
     return state, metrics, out.reconstructed
 
 
@@ -680,12 +697,13 @@ def run(
 
         src = DeviceSyntheticExplicit(b, h, w, seed=cfg.run.seed,
                                       texture=data_texture,
-                                      texture_vel=data_texture_vel)
+                                      texture_vel=data_texture_vel,
+                                      overlap_free=cfg.data.synthetic_overlap_free)
 
         def batches():
             for i in range(iterations):
-                corrupted, original, _, _, _ = src.next(i)
-                yield corrupted[:, :s], original[:, :s]
+                corrupted, original, masks, _, _ = src.next(i)
+                yield corrupted[:, :s], original[:, :s], masks[:, :s]
     else:
         # Host decode/corrupt overlapped with TPU compute: the prefetcher's
         # worker threads stay ahead of the train loop (replaces the
@@ -712,13 +730,13 @@ def run(
                         f"dataset clips have {video.shape[1]} frames; "
                         f"cfg.rl.vid_length={s} requires at least that many"
                     )
-                yield video, org
+                yield video, org, None
 
     try:
-        for i, (video, org) in enumerate(batches()):
+        for i, (video, org, masks) in enumerate(batches()):
             rng, step_key = jax.random.split(rng)
             state, metrics, recon = train_step_donated(
-                state, mods, cfg, video, org, step_key
+                state, mods, cfg, video, org, step_key, masks
             )
             if i % cfg.run.log_every == 0:
                 writer.scalars({k: float(v) for k, v in metrics.items()}, i)

@@ -161,7 +161,37 @@ class TestImitation:
             )
         np.testing.assert_allclose(float(loss), float(naive), rtol=2e-5)
 
-    def test_train_step_updates_pn2_only(self, setup):
+    def test_pair_ce_loss(self, setup):
+        """loss_mode="pair_ce": softmax CE toward the canonical teacher pair
+        positives[:, 0] (ImitationConfig.loss_mode — the mode whose optimum
+        actually ranks an exposing pair on top)."""
+        cfg, mods, state, video, positives, negatives = setup
+        mods_ce = mods._replace(loss_mode="pair_ce")
+        loss, _ = imitation.imitation_loss(
+            state.pn2_params, state.vp_params, mods_ce, video, positives,
+            negatives,
+        )
+        s = video.shape[0]
+        frames = imitation.preprocess_frames(video)
+        canvas, feats = mods.vp.apply({"params": state.vp_params}, frames)
+        canvas20 = jnp.broadcast_to(canvas[0][None], (s,) + canvas.shape[1:])
+        from rovr_tpu.models.policy_net_2 import PolicyNet2
+
+        logits = mods.pn2.apply(
+            {"params": state.pn2_params}, canvas20, feats[0], jnp.arange(s),
+            method=PolicyNet2.masked_logits,
+        )
+        logp = jax.nn.log_softmax(logits, axis=1)
+        rows = jnp.arange(s)
+        naive = -jnp.mean(
+            logp[rows, positives[:, 0, 0]] + logp[rows, positives[:, 0, 1]]
+        )
+        np.testing.assert_allclose(float(loss), float(naive), rtol=2e-5)
+
+    def test_train_step_updates_pn2_and_vp_heads(self, setup):
+        """Default (train_vp=True): pn2 and the VideoProcessor projection
+        heads train; the backbone NEVER does (stop_gradient + "freeze"
+        optimizer label, imitation.make_modules)."""
         cfg, mods, state, video, positives, negatives = setup
         new_state, metrics = imitation.train_step(
             state, (video, positives, negatives), mods
@@ -176,10 +206,29 @@ class TestImitation:
                 jax.tree.leaves(new_state.pn2_params),
             )
         )
-        # VideoProcessor stays frozen during imitation (only pn2 is in the
-        # optimizer, imitation.py init_state)
+        # the frozen backbone is bit-identical
         for a, b in zip(
-            jax.tree.leaves(state.vp_params), jax.tree.leaves(new_state.vp_params)
+            jax.tree.leaves(state.vp_params["backbone"]),
+            jax.tree.leaves(new_state.vp_params["backbone"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_train_vp_false_freezes_vp(self, setup):
+        """cfg.imitation.train_vp=False (strict reference parity:
+        imitation_learning.py:98-100 trains only pn2) leaves ALL of the
+        VideoProcessor untouched."""
+        cfg, _, _, video, positives, negatives = setup
+        cfg2 = cfg.replace(
+            imitation=dataclasses.replace(cfg.imitation, train_vp=False)
+        )
+        mods2 = imitation.make_modules(cfg2, dtype=DT)
+        state2 = imitation.init_state(cfg2, mods2, jax.random.PRNGKey(0))
+        new_state, _ = imitation.train_step(
+            state2, (video, positives, negatives), mods2
+        )
+        for a, b in zip(
+            jax.tree.leaves(state2.vp_params),
+            jax.tree.leaves(new_state.vp_params),
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -224,3 +273,87 @@ class TestCompilationCache:
         compilation_cache.enable(str(tmp_path / "cache"))
         assert not (tmp_path / "cache").exists()
         assert not compilation_cache._enabled
+
+
+class TestExposureAndGreedy:
+    def test_imitation_exposure_metric(self):
+        """Masks in the batch add Imitation/exposure: 1.0 when contexts fully
+        expose the target's holes is impossible to force through the policy,
+        so instead verify the hand formula on a crafted mask set."""
+        cfg = tiny_config()
+        mods = imitation.make_modules(cfg, dtype=DT)
+        state = imitation.init_state(cfg, mods, jax.random.PRNGKey(0))
+        s = cfg.model.pn2_num_frames
+        video = jax.random.uniform(jax.random.PRNGKey(1), (s, 32, 32, 3))
+        positives = jax.random.randint(jax.random.PRNGKey(2), (s, 5, 2), 0, s)
+        negatives = jax.random.randint(jax.random.PRNGKey(3), (s, 2, 2), 0, s)
+        masks = jnp.ones((s, 32, 32, 3)).at[:, :8, :8, :].set(0.0)
+        _, metrics = imitation.imitation_loss(
+            state.pn2_params, state.vp_params, mods, video, positives,
+            negatives, masks=masks,
+        )
+        # every frame masks the SAME region -> no context can expose it
+        assert float(metrics["Imitation/exposure"]) == pytest.approx(0.0)
+        # disjoint holes -> any context pair fully exposes the target's hole
+        masks2 = jnp.ones((s, 32, 32, 3))
+        for i in range(s):
+            masks2 = masks2.at[i, i * 8:(i + 1) * 8, :4, :].set(0.0)
+        _, m2 = imitation.imitation_loss(
+            state.pn2_params, state.vp_params, mods, video, positives,
+            negatives, masks=masks2,
+        )
+        assert float(m2["Imitation/exposure"]) == pytest.approx(1.0)
+        # and train_step accepts the 4-element batch
+        _, m3 = imitation.train_step(
+            state, (video, positives, negatives, masks2), mods
+        )
+        assert "Imitation/exposure" in m3
+
+    def test_greedy_act_deterministic_and_argmax(self):
+        """greedy=True ignores the PRNG key and returns the argmax-2 of the
+        masked logits; sampling (greedy=False) varies with the key."""
+        from rovr_tpu.models.policy_net_2 import PolicyNet2
+
+        cfg = tiny_config()
+        s = cfg.model.pn2_num_frames
+        pol = PolicyNet2(num_frames=s, fc_dims=cfg.model.pn2_fc_dims, dtype=DT)
+        canvas = jax.random.uniform(
+            jax.random.PRNGKey(0), (3, cfg.model.canvas_size, cfg.model.canvas_size, 1)
+        )
+        feat = jax.random.normal(jax.random.PRNGKey(1), (3, cfg.model.feature_dim))
+        tgt = jnp.zeros((3,), jnp.int32)
+        params = pol.init(jax.random.PRNGKey(2), canvas, feat, tgt,
+                          jax.random.PRNGKey(0))["params"]
+        a1, _ = pol.apply({"params": params}, canvas, feat, tgt,
+                          jax.random.PRNGKey(3), True)
+        a2, _ = pol.apply({"params": params}, canvas, feat, tgt,
+                          jax.random.PRNGKey(99), True)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        logits = pol.apply({"params": params}, canvas, feat, tgt,
+                           method=PolicyNet2.masked_logits)
+        _, want = jax.lax.top_k(logits, 2)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(want))
+
+    def test_eval_step_exposure_metrics(self):
+        """Masks in the eval batch add agentic/sequential exposure rates."""
+        from rovr_tpu.train import evaluate, rl
+
+        cfg = tiny_config()
+        mods = evaluate.make_modules(cfg, dtype=DT, raft_iters=2)
+        rng = jax.random.PRNGKey(0)
+        state = rl.init_state(cfg, mods.rovr, rng)
+        raft_params = evaluate.init_raft_params(mods, rng, size=32)
+        org = jax.random.uniform(jax.random.PRNGKey(1), (1, 4, 32, 32, 3))
+        masks = jnp.ones_like(org)
+        for i in range(4):
+            masks = masks.at[:, i, i * 8:(i + 1) * 8, :6, :].set(0.0)
+        video = org * masks
+        metrics = evaluate.eval_step(
+            state, raft_params, mods, cfg, (video, org, masks), 32
+        )
+        for k in ("Eval/exposure_agentic", "Eval/exposure_sequential",
+                  "Eval/masked_psnr_agentic"):
+            assert k in metrics and np.isfinite(float(metrics[k])), k
+        # disjoint holes: every context pair exposes everything
+        assert float(metrics["Eval/exposure_sequential"]) == pytest.approx(1.0)
+        assert float(metrics["Eval/exposure_agentic"]) == pytest.approx(1.0)
