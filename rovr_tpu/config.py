@@ -44,6 +44,19 @@ class DataConfig:
     # and compressing the context-selection signal — measured in
     # benchmarks/context_sensitivity.py). False = reference geometry parity.
     synthetic_overlap_free: bool = False
+    # Which corruption scheme the synthetic RL/eval sources use:
+    #   "explicit" — the teacher group-mask scheme (video_ds_explicit.py).
+    #                Adversarial to marginal top-2 policies BY CONSTRUCTION:
+    #                full exposure needs JOINT pair coverage; the ceiling for
+    #                any factorized policy (the reference's class) is 0.75
+    #                exposure vs 0.67 random (benchmarks/policy_ceiling.py).
+    #   "raster"   — the standard deterministic raster box tracking frame
+    #                index (video_ds.py:62-87, the poster's RealVSR task
+    #                geometry). Sequential contexts expose 0.47; any far
+    #                frame exposes 1.0 — a per-frame criterion a marginal
+    #                policy CAN learn. The agentic-vs-sequential demo scheme.
+    # Imitation always uses "explicit" (it needs the teacher tables).
+    synthetic_scheme: str = "explicit"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -181,6 +181,116 @@ def explicit_batch_device(key, frame_masks, height: int, width: int,
     return clips * masks, clips, jnp.broadcast_to(masks, clips.shape)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def raster_batch_device(key, batch: int, height: int, width: int,
+                        num_frames: int = teacher.NUM_FRAMES,
+                        texture: float = 0.0, texture_vel: float = 1.5):
+    """(corrupted, original, masks) under the STANDARD corruption scheme:
+    the deterministic raster box tracking frame index (video_ds.py:62-87,
+    corruption.raster_box_masks_jax — frame s carries original index 2*s,
+    matching the reference's every-2nd-frame subsampling, video_ds.py:106).
+
+    This is the scheme behind the poster's agentic-vs-sequential headline:
+    adjacent frames' boxes overlap ~80% (box width 150 px vs 32 px slice
+    stride), so SEQUENTIAL contexts (t-1, t-2) expose only 0.47 of the
+    target's hole while any far frame exposes all of it — a per-frame
+    (marginal) selection criterion the reference's top-2-of-one-softmax
+    policy class can actually represent. The explicit teacher scheme, by
+    contrast, requires JOINT pair coverage: its marginal-policy ceiling is
+    0.75 exposure vs 0.67 random (measured, benchmarks/policy_ceiling.py),
+    so no factorized policy — the reference's included — can beat random
+    there by much. RL and evaluation therefore run on this scheme.
+    """
+    clips = synthetic_clips(key, batch, height, width, num_frames, texture,
+                            texture_vel)
+    masks = corruption.raster_box_masks_jax(
+        2 * jnp.arange(num_frames), height, width
+    )  # (S, H, W, 1), identical for every video by construction
+    masks = jnp.broadcast_to(masks[None], (batch,) + masks.shape)
+    return clips * masks, clips, jnp.broadcast_to(masks, clips.shape)
+
+
+def raster_positive_pairs(num_frames: int, height: int, width: int,
+                          per_frame: int = 8, seed: int = 0) -> np.ndarray:
+    """(S, P, 2) int32 context pairs that JOINTLY expose the target's whole
+    raster box — exposure-1.0 pairs for the standard scheme, the analog of
+    the explicit teacher's positive tables (used to mix exposing contexts
+    into UNet pretraining, pretrain_local.sample_batch).
+
+    A pixel of target box T is exposed by pair (i, j) iff it is intact in i
+    OR j, so the pair is fully exposing iff T ∩ box_i ∩ box_j = ∅ (at small
+    frame sizes a single non-overlapping frame may not exist — e.g. 160 px:
+    middle-section boxes overlap every other frame vertically — but a
+    (top-section, bottom-section) pair still covers jointly)."""
+    # raster_box takes the post-subsampling index; frame s maps to it
+    # directly (raster_box_masks_jax(2 * s) halves back internally).
+    boxes = [corruption.raster_box(s, height, width) for s in range(num_frames)]
+
+    def inter(a, b):
+        return (max(a[0], b[0]), min(a[1], b[1]),
+                max(a[2], b[2]), min(a[3], b[3]))
+
+    def empty(a):
+        return a[0] >= a[1] or a[2] >= a[3]
+
+    rng = np.random.default_rng(seed)
+    out = np.empty((num_frames, per_frame, 2), np.int32)
+    for t in range(num_frames):
+        cand = [j for j in range(num_frames) if j != t]
+        pairs = [(a, b) for ai, a in enumerate(cand) for b in cand[ai + 1:]
+                 if empty(inter(inter(boxes[t], boxes[a]), boxes[b]))]
+        if not pairs:
+            raise ValueError(
+                f"no fully-exposing pair for target {t} at "
+                f"{height}x{width} — frame too small for the 150x100 box grid"
+            )
+        picks = rng.choice(len(pairs), per_frame, replace=len(pairs) < per_frame)
+        out[t] = np.asarray([pairs[p] for p in picks], np.int32)
+    return out
+
+
+class DeviceSyntheticRaster:
+    """Device-resident source under the standard raster-box corruption.
+
+    next(i) -> (corrupted, original, masks, None, None): same 5-tuple shape
+    as DeviceSyntheticExplicit so train/eval loops consume either; there are
+    no teacher tables in this scheme (imitation uses the explicit source).
+    """
+
+    def __init__(self, batch: int, height: int = 256, width: int = 256,
+                 seed: int = 0, texture: float = 0.0,
+                 texture_vel: float = 1.5):
+        self.batch = batch
+        self.height = height
+        self.width = width
+        self.seed = seed
+        self.texture = texture
+        self.texture_vel = texture_vel
+
+    def next(self, i: int):
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), i)
+        corrupted, original, masks = raster_batch_device(
+            key, self.batch, self.height, self.width, teacher.NUM_FRAMES,
+            self.texture, self.texture_vel,
+        )
+        return corrupted, original, masks, None, None
+
+
+def make_source(cfg, batch: int, seed: int, texture: float,
+                texture_vel: float):
+    """Synthetic device source per cfg.data.synthetic_scheme (see
+    DataConfig.synthetic_scheme): "explicit" teacher masks or the standard
+    "raster" boxes. Both return the same next(i) 5-tuple contract."""
+    h, w = cfg.data.frame_size
+    if cfg.data.synthetic_scheme == "raster":
+        return DeviceSyntheticRaster(batch, h, w, seed=seed, texture=texture,
+                                     texture_vel=texture_vel)
+    return DeviceSyntheticExplicit(
+        batch, h, w, seed=seed, texture=texture, texture_vel=texture_vel,
+        overlap_free=cfg.data.synthetic_overlap_free,
+    )
+
+
 class DeviceSyntheticExplicit:
     """Batched device-resident source with the explicit-dataset contract.
 

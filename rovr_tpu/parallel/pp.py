@@ -98,7 +98,12 @@ def pipeline_apply(
         def tick(recv, t):
             inject = stream[jnp.minimum(t, m - 1)]
             act = jnp.where(stage == 0, inject, recv)
-            out = stage_fn(params, act)
+            # Inter-stage activations ride the ring in the INPUT dtype:
+            # mixed-precision stages that widen internally (bf16 in, f32
+            # residual out) are rounded back at the stage boundary — the
+            # standard pipeline send-buffer precision, which also keeps the
+            # scan carry type fixed and halves ppermute bytes under bf16.
+            out = stage_fn(params, act).astype(xs.dtype)
             return jax.lax.ppermute(out, axis, fwd), out
 
         # ppermute output varies over `axis`, so the initial carry must be
@@ -133,7 +138,9 @@ def pipeline_layers(
 
     def stage_fn(stage_params, act):
         def body(carry, p):
-            return apply_layer(p, carry), None
+            # fixed carry dtype across the layer scan (see pipeline_apply's
+            # tick: widening layers are rounded back between applications)
+            return apply_layer(p, carry).astype(carry.dtype), None
 
         out, _ = jax.lax.scan(body, act, stage_params)
         return out

@@ -179,13 +179,9 @@ def run(
     n_steps = max(1, num_videos // b)
     s = cfg.rl.vid_length
     if device_source:
-        from rovr_tpu.data.device_synthetic import DeviceSyntheticExplicit
+        from rovr_tpu.data.device_synthetic import make_source
 
-        h, w = cfg.data.frame_size
-        src = DeviceSyntheticExplicit(b, h, w, seed=cfg.run.seed,
-                                      texture=data_texture,
-                                      texture_vel=data_texture_vel,
-                                      overlap_free=cfg.data.synthetic_overlap_free)
+        src = make_source(cfg, b, cfg.run.seed, data_texture, data_texture_vel)
     for i in range(n_steps):
         if device_source:
             corrupted, original, masks, _, _ = src.next(i)

@@ -51,7 +51,16 @@ def _collect(curve: List[Dict[str, float]], every: int = 1):
     return cb
 
 
-def default_config(vid_length: int = 20, rl_batch: int = 4) -> Config:
+def default_config(vid_length: int = 20, rl_batch: int = 4,
+                   frame: int = 160) -> Config:
+    """Pipeline demo config. frame=160 (not the reference's 256): the
+    corruption BOX geometry is fixed at 150x100 (video_ds.py:62-77 parity),
+    so the frame size sets how much of a frame one box covers — at 256 a
+    random context pair already exposes 0.95 of the target's hole (no
+    selection needed); at 160 random exposes 0.79, sequential 0.30, and the
+    marginal-policy ceiling stays 0.97 (benchmarks/policy_ceiling.py), which
+    is the regime where learned selection is visible. All model/mask
+    geometry is otherwise untouched."""
     c = Config()
     return c.replace(
         rl=dataclasses.replace(
@@ -64,14 +73,20 @@ def default_config(vid_length: int = 20, rl_batch: int = 4) -> Config:
             # 2048-d bottleneck and warm-starts far slower.
             context_policy="attention",
         ),
-        # Overlap-free cell-aligned masks: the reference's 100x50 jittered
-        # boxes overlap across DIFFERENT raster locations, leaving teacher
-        # pairs only ~85% pixel-exposing and compressing the selection
-        # signal to ~0.6 dB (measured: benchmarks/context_sensitivity.py,
-        # results/context_sensitivity_t0.5_v0.0.json). Cell-aligned boxes
-        # make group exposure pixel-exact.
+        # RL + eval run on the STANDARD raster-box scheme (video_ds.py:62-87
+        # geometry): sequential contexts expose only 0.47 of the target's
+        # hole while far frames expose 1.0 — the per-frame criterion a
+        # marginal top-2 policy can learn, and the structure behind the
+        # poster's agentic-vs-sequential headline. The explicit teacher
+        # scheme is kept for the imitation stage (it needs the tables) but
+        # is provably adversarial to ANY factorized policy for RL: its
+        # marginal ceiling is 0.75 exposure vs 0.67 random
+        # (benchmarks/policy_ceiling.py). overlap_free keeps the explicit
+        # stage's teacher pairs pixel-exact.
         data=dataclasses.replace(c.data, vid_length=vid_length,
-                                 synthetic_overlap_free=True),
+                                 frame_size=(frame, frame),
+                                 synthetic_overlap_free=True,
+                                 synthetic_scheme="raster"),
         # (4,4) spatial backbone pooling: with the environment's random
         # (no-egress) backbone weights, globally pooled features lose mask
         # POSITIONS and the teacher task becomes unlearnable (probe in
@@ -100,7 +115,6 @@ def run(
     stage metric curves + held-out eval for the trained policy, a
     random-policy control (same pretrained UNet, untrained actor), and the
     sequential baseline riding along in each."""
-    from rovr_tpu.data.device_synthetic import DeviceSyntheticExplicit
     from rovr_tpu.train import evaluate, imitation, pretrain_local, rl
     from rovr_tpu.utils.compilation_cache import enable as enable_compile_cache
 
@@ -122,21 +136,34 @@ def run(
     }
     t0 = time.time()
 
-    # ---- Stage 1: UNet pretrain on the SAME distribution RL will see:
-    # textured clips with explicit-scheme masks (the reference pretrains on
-    # the random-mask dataset instead, train_local_net_unet.py:59-61 — the
-    # explicit masks are a strict subset geometry-wise). Teacher-positive
-    # context pairs ride along so half the samples train copy-from-exposing-
-    # context (see pretrain_local.sample_batch).
+    # ---- Stage 1: UNet pretrain on the SAME distribution RL will see
+    # (cfg.data.synthetic_scheme — raster boxes by default here; the
+    # reference pretrains on the random-mask dataset,
+    # train_local_net_unet.py:59-61). Exposure-1.0 context pairs ride along
+    # so half the samples train copy-from-exposing-context (see
+    # pretrain_local.sample_batch): the explicit scheme's teacher positives,
+    # or non-overlapping-box pairs for the raster scheme.
     h, w = cfg.data.frame_size
     s = cfg.rl.vid_length
-    src = DeviceSyntheticExplicit(4, h, w, seed=cfg.run.seed + 77,
-                                 texture=texture, texture_vel=texture_vel)
+    from rovr_tpu.data.device_synthetic import (
+        make_source, raster_positive_pairs,
+    )
+
+    src = make_source(cfg, 4, cfg.run.seed + 77, texture, texture_vel)
     vids, origs, poss = [], [], []
+    raster_pos = None
+    if cfg.data.synthetic_scheme == "raster":
+        raster_pos = jnp.asarray(
+            raster_positive_pairs(s, h, w, seed=cfg.run.seed)
+        )  # (S, P, 2), same for every clip (deterministic boxes)
     for i in range(max(1, pretrain_clips // 4)):
         corrupted, original, _, positives, _ = src.next(i)
         vids.append(corrupted[:, :s])
         origs.append(original[:, :s])
+        if positives is None:
+            positives = jnp.broadcast_to(
+                raster_pos[None], (4,) + raster_pos.shape
+            )
         poss.append(jnp.asarray(positives[:, :s], jnp.int32))
     data = (
         jnp.concatenate(vids), jnp.concatenate(origs), jnp.concatenate(poss)

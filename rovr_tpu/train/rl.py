@@ -693,12 +693,9 @@ def run(
     h, w = cfg.data.frame_size
 
     if device_source:
-        from rovr_tpu.data.device_synthetic import DeviceSyntheticExplicit
+        from rovr_tpu.data.device_synthetic import make_source
 
-        src = DeviceSyntheticExplicit(b, h, w, seed=cfg.run.seed,
-                                      texture=data_texture,
-                                      texture_vel=data_texture_vel,
-                                      overlap_free=cfg.data.synthetic_overlap_free)
+        src = make_source(cfg, b, cfg.run.seed, data_texture, data_texture_vel)
 
         def batches():
             for i in range(iterations):

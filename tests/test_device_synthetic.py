@@ -89,3 +89,63 @@ class TestDeviceSource:
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
         c3, *_ = src.next(1)
         assert not np.allclose(np.asarray(c1), np.asarray(c3))
+
+
+class TestRasterSource:
+    def test_masks_match_reference_geometry(self):
+        """Raster masks equal corruption.raster_box boxes per frame
+        (video_ds.py:62-87 geometry via raster_box_masks_jax)."""
+        from rovr_tpu.data.device_synthetic import DeviceSyntheticRaster
+
+        h = w = 160
+        src = DeviceSyntheticRaster(2, h, w, seed=5)
+        corrupted, original, masks, pos, neg = src.next(0)
+        assert pos is None and neg is None
+        assert corrupted.shape == (2, 20, h, w, 3)
+        m = np.asarray(masks)[0, :, :, :, 0]
+        for s in range(20):
+            y0, y1, x0, x1 = corruption.raster_box(s, h, w)
+            expect = np.ones((h, w))
+            expect[y0:y1, x0:x1] = 0.0
+            np.testing.assert_array_equal(m[s], expect)
+        # corrupted = original * mask
+        np.testing.assert_allclose(
+            np.asarray(corrupted), np.asarray(original) * np.asarray(masks),
+            atol=1e-6,
+        )
+
+    def test_positive_pairs_expose_fully(self):
+        """raster_positive_pairs: every target-hole pixel is intact in at
+        least one pair member — pixel-checked exposure of exactly 1.0."""
+        from rovr_tpu.data.device_synthetic import raster_positive_pairs
+
+        h = w = 160
+        pairs = raster_positive_pairs(20, h, w, per_frame=4, seed=0)
+        assert pairs.shape == (20, 4, 2)
+        masks = np.asarray(
+            corruption.raster_box_masks_jax(2 * np.arange(20), h, w)
+        )[..., 0]  # (20, H, W), 1 = intact
+        hole = 1.0 - masks
+        for t in range(20):
+            for a, b in pairs[t]:
+                assert a != t and b != t and a != b
+                exposed = hole[t] * (1.0 - hole[a] * hole[b])
+                np.testing.assert_array_equal(exposed, hole[t])
+
+    def test_make_source_scheme_switch(self):
+        import dataclasses
+
+        from rovr_tpu.config import Config
+        from rovr_tpu.data.device_synthetic import (
+            DeviceSyntheticRaster, make_source,
+        )
+
+        cfg = Config()
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, frame_size=(64, 64), synthetic_scheme="raster"))
+        assert isinstance(make_source(cfg, 1, 0, 0.5, 0.0),
+                          DeviceSyntheticRaster)
+        cfg2 = cfg.replace(data=dataclasses.replace(
+            cfg.data, synthetic_scheme="explicit"))
+        assert isinstance(make_source(cfg2, 1, 0, 0.5, 0.0),
+                          DeviceSyntheticExplicit)

@@ -82,6 +82,30 @@ class TestPipelineLayers:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=5e-5, atol=5e-5)
 
+    def test_mixed_precision_stage_widens(self, mesh):
+        """A stage that takes bf16 activations but returns f32 (the
+        mixed-precision EncoderBlock pattern) must not break the scan carry
+        type: inter-stage activations are rounded back to the input dtype at
+        each stage boundary (pipeline send-buffer precision)."""
+        d = 8
+        layers = [dense_layer(k, d) for k in jax.random.split(jax.random.PRNGKey(8), 4)]
+
+        def apply_mixed(p, x):
+            y = x.astype(jnp.bfloat16) @ p["w"].astype(jnp.bfloat16)
+            return jnp.tanh(y.astype(jnp.float32) + p["b"])
+
+        x = jax.random.normal(jax.random.PRNGKey(9), (8, d)).astype(jnp.bfloat16)
+        # sequential twin WITH the boundary rounding (1 layer per stage here)
+        want = x
+        for p in layers:
+            want = apply_mixed(p, want).astype(x.dtype)
+        got = pipeline_layers(apply_mixed, layers, x, mesh, microbatches=2)
+        assert got.dtype == x.dtype
+        np.testing.assert_allclose(
+            np.asarray(want, np.float32), np.asarray(got, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
     def test_stack_layers_validates(self):
         layers = [dense_layer(jax.random.PRNGKey(i), 4) for i in range(3)]
         with pytest.raises(ValueError):
