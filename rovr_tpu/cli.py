@@ -192,9 +192,10 @@ def cmd_pipeline(argv: List[str]) -> int:
     p.add_argument("--eval_videos", type=int, default=20)
     p.add_argument("--vid_length", type=int, default=20)
     p.add_argument("--rl_batch", type=int, default=4)
-    p.add_argument("--texture", type=float, default=0.5,
+    p.add_argument("--texture", type=float, default=1.0,
                    help="mid-frequency texture blend for synthetic clips "
-                        "(makes context selection learnable)")
+                        "(makes context selection learnable; 1.0 = fully "
+                        "textured, the pipeline.run default)")
     p.add_argument("--texture_vel", type=float, default=0.0,
                    help="texture drift px/frame (0 = static, exact copy)")
     p.add_argument("--out", type=str, default=None,
@@ -220,12 +221,48 @@ def cmd_pipeline(argv: List[str]) -> int:
     return 0
 
 
+def cmd_reconstruct(argv: List[str]) -> int:
+    """Inference: reconstruct corrupted clips with a trained checkpoint and
+    write frames in the reference's dataset layout (video_ds.py:104). The
+    reference ships no inference entry point at all — its only model
+    consumer is the training loop."""
+    p = argparse.ArgumentParser("rovr_tpu reconstruct")
+    p.add_argument("--num_clips", type=int, default=4)
+    p.add_argument("--vid_length", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--context_policy", choices=("canvas", "attention"),
+                   default="canvas")
+    p.add_argument("--out", type=str, default="reconstructed")
+    _base_parser(p)
+    args = p.parse_args(argv)
+    cfg = _apply_base(Config(), args)
+    cfg = cfg.replace(
+        rl=dataclasses.replace(
+            cfg.rl, vid_length=args.vid_length, time_steps=args.vid_length,
+            batch_size=args.batch_size, context_policy=args.context_policy,
+        ),
+        data=dataclasses.replace(cfg.data, vid_length=args.vid_length),
+    )
+
+    from rovr_tpu import infer
+
+    summary = infer.run(
+        cfg, restore_from=args.restore_from,
+        dataset=_dataset(cfg, args, explicit=False),
+        num_clips=args.num_clips, out_dir=args.out,
+    )
+    for k, v in summary.items():
+        print(f"{k}: {v}")
+    return 0
+
+
 COMMANDS = {
     "rl": cmd_rl,
     "pretrain": cmd_pretrain,
     "imitate": cmd_imitate,
     "eval": cmd_eval,
     "pipeline": cmd_pipeline,
+    "reconstruct": cmd_reconstruct,
 }
 
 

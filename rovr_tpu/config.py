@@ -55,7 +55,10 @@ class DataConfig:
     #                geometry). Sequential contexts expose 0.47; any far
     #                frame exposes 1.0 — a per-frame criterion a marginal
     #                policy CAN learn. The agentic-vs-sequential demo scheme.
-    # Imitation always uses "explicit" (it needs the teacher tables).
+    # Imitation follows this too: under "raster" it derives analytic teacher
+    # tables from the box geometry (device_synthetic.raster_positive_pairs /
+    # raster_negative_pairs), the same paradigm as the explicit dataset's
+    # solution tables.
     synthetic_scheme: str = "explicit"
 
 

@@ -276,6 +276,33 @@ class DeviceSyntheticRaster:
         return corrupted, original, masks, None, None
 
 
+def raster_negative_pairs(num_frames: int, height: int, width: int,
+                          per_frame: int = 3, seed: int = 0) -> np.ndarray:
+    """(S, P, 2) int32 context pairs with the LOWEST joint exposure of the
+    target's raster box — the analog of the explicit teacher's same-group
+    negative pairs (video_ds_explicit.py:165-191): useless contexts the
+    imitation BCE pushes away from."""
+    masks = np.asarray(
+        corruption.raster_box_masks_jax(2 * np.arange(num_frames),
+                                        height, width)
+    )[..., 0]
+    hole = 1.0 - masks
+    rng = np.random.default_rng(seed)
+    out = np.empty((num_frames, per_frame, 2), np.int32)
+    for t in range(num_frames):
+        cand = [j for j in range(num_frames) if j != t]
+        scored = sorted(
+            ((float((hole[t] * (1 - (1 - masks[a]) * (1 - masks[b]))).sum()),
+              a, b)
+             for ai, a in enumerate(cand) for b in cand[ai + 1:]),
+        )
+        worst = scored[: max(per_frame * 3, per_frame)]
+        picks = rng.choice(len(worst), per_frame, replace=False)
+        out[t] = np.asarray([(worst[p][1], worst[p][2]) for p in picks],
+                            np.int32)
+    return out
+
+
 def make_source(cfg, batch: int, seed: int, texture: float,
                 texture_vel: float):
     """Synthetic device source per cfg.data.synthetic_scheme (see

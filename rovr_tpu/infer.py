@@ -1,0 +1,143 @@
+"""Inference: reconstruct corrupted clips with a trained policy + UNet.
+
+The reference has no inference entry point at all — its only consumer of a
+trained model is the training loop itself (rovr/test.py trains and
+checkpoints, nothing loads a checkpoint to reconstruct unseen clips). A
+user of the framework needs one: this module runs the agentic rollout
+(deterministic greedy context selection, cfg.rl.eval_greedy) over input
+clips and returns / writes the reconstructed videos.
+
+No original (ground-truth) video is needed: the rollout's LPIPS reward
+terms are dead code under inference (XLA eliminates them when the caller
+only keeps `reconstructed`), so the corrupted clip stands in for both
+inputs. Frames are written in the reference's dataset layout
+(out/<clip>/<frame>.png, video_ds.py:104) so reconstructions can be
+re-consumed by the data pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rovr_tpu.config import Config
+
+
+def reconstruct_clips(
+    cfg: Config,
+    state,
+    mods,
+    videos: Iterable[jnp.ndarray],
+) -> Iterable[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (reconstructed, actions) per (B, S, H, W, 3) corrupted batch.
+
+    Greedy deterministic rollout: cfg.rl.greedy is forced on (the standard
+    policy readout — the stochastic Gumbel path is for training,
+    rovr.py:141); the sequential baseline pass is forced off.
+    """
+    from rovr_tpu.train import rl
+
+    cfg = cfg.replace(
+        rl=dataclasses.replace(
+            cfg.rl, greedy=True, sequential_baseline=False
+        )
+    )
+
+    @jax.jit
+    def _run(video):
+        out = rl.rollout(
+            state, mods, cfg, video, video, jax.random.PRNGKey(cfg.run.seed)
+        )
+        return out.reconstructed, out.traj.actions
+
+    for video in videos:
+        recon, actions = _run(jnp.asarray(video))
+        yield np.asarray(recon), np.asarray(actions)
+
+
+def write_frames(recon: np.ndarray, out_dir: str, clip_offset: int = 0) -> int:
+    """Write (B, S, H, W, 3) float [0,1] as out_dir/<clip>/<frame>.png
+    (the reference's folder layout, video_ds.py:104). Returns frames written.
+    Uses cv2 when available, else PNG via pure-python fallback."""
+    n = 0
+    u8 = np.clip(np.asarray(recon, np.float32) * 255.0, 0, 255).astype(np.uint8)
+    try:
+        import cv2
+
+        def _write(path, img):
+            cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    except Exception:  # pragma: no cover - cv2 is in the image
+        from rovr_tpu.utils.png import write_png as _write
+
+    for b in range(u8.shape[0]):
+        d = os.path.join(out_dir, f"{clip_offset + b:05d}")
+        os.makedirs(d, exist_ok=True)
+        for s in range(u8.shape[1]):
+            _write(os.path.join(d, f"{s:05d}.png"), u8[b, s])
+            n += 1
+    return n
+
+
+def run(
+    cfg: Optional[Config] = None,
+    restore_from: Optional[str] = None,
+    dataset=None,
+    num_clips: int = 4,
+    out_dir: str = "reconstructed",
+    data_texture: float = 1.0,
+    data_texture_vel: float = 0.0,
+) -> dict:
+    """CLI driver: restore a trained RL state (or random init when no
+    checkpoint is given), reconstruct `num_clips` clips, write frames.
+
+    dataset=None falls back to the on-device synthetic source
+    (cfg.data.synthetic_scheme), mirroring the training drivers.
+    """
+    from rovr_tpu.train import rl
+    from rovr_tpu.utils.checkpoint import CheckpointManager
+    from rovr_tpu.utils.compilation_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+    cfg = cfg or Config()
+    mods = rl.make_modules(cfg)
+    state = rl.init_state(cfg, mods, jax.random.PRNGKey(cfg.run.seed))
+    restored = False
+    if restore_from:
+        mgr = CheckpointManager(restore_from)
+        got = mgr.restore(template=state)
+        if got is not None:
+            state, restored = got, True
+
+    b = cfg.rl.batch_size
+    s = cfg.rl.vid_length
+
+    def batches():
+        if dataset is not None:
+            for i in range(0, num_clips, b):
+                items = [dataset[(i + j) % len(dataset)] for j in range(b)]
+                yield jnp.asarray(np.stack([it[0][:s] for it in items]))
+        else:
+            from rovr_tpu.data.device_synthetic import make_source
+
+            src = make_source(cfg, b, cfg.run.seed, data_texture,
+                              data_texture_vel)
+            for i in range(max(1, num_clips // b)):
+                corrupted, *_ = src.next(i)
+                yield corrupted[:, :s]
+
+    written = 0
+    clips = 0
+    for recon, actions in reconstruct_clips(cfg, state, mods, batches()):
+        written += write_frames(recon, out_dir, clip_offset=clips)
+        clips += recon.shape[0]
+    return {
+        "clips": clips,
+        "frames_written": written,
+        "out_dir": out_dir,
+        "restored": restored,
+    }

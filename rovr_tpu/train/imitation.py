@@ -293,13 +293,29 @@ def run(cfg: Optional[Config] = None, dataset=None, steps: Optional[int] = None,
 
     if dataset is None and not os.path.isdir(cfg.data.root_folder):
         # device-resident synthetic clips (see train/rl.py rationale)
-        from rovr_tpu.data.device_synthetic import DeviceSyntheticExplicit
+        from rovr_tpu.data.device_synthetic import make_source
 
         h, w = cfg.data.frame_size
-        src = DeviceSyntheticExplicit(1, h, w, seed=cfg.run.seed,
-                                      texture=data_texture,
-                                      texture_vel=data_texture_vel,
-                                      overlap_free=cfg.data.synthetic_overlap_free)
+        src = make_source(cfg, 1, cfg.run.seed, data_texture,
+                          data_texture_vel)
+        raster_tables = None
+        if cfg.data.synthetic_scheme == "raster":
+            # Analytic teacher tables for the raster scheme: fully-exposing
+            # positive pairs / lowest-exposure negatives from the box
+            # geometry — the same paradigm as the explicit dataset's
+            # solution tables (video_ds_explicit.py:133-191), derived from
+            # the standard corruption instead.
+            from rovr_tpu.data.device_synthetic import (
+                raster_negative_pairs, raster_positive_pairs,
+            )
+
+            s = cfg.model.pn2_num_frames
+            raster_tables = (
+                raster_positive_pairs(s, h, w, per_frame=16,
+                                      seed=cfg.run.seed),
+                raster_negative_pairs(s, h, w, per_frame=3,
+                                      seed=cfg.run.seed),
+            )
 
         class _DeviceItems:
             def __len__(self):
@@ -307,6 +323,8 @@ def run(cfg: Optional[Config] = None, dataset=None, steps: Optional[int] = None,
 
             def __getitem__(self, i):
                 corrupted, _, masks, pos, neg = src.next(i)
+                if raster_tables is not None:
+                    pos, neg = raster_tables[0][None], raster_tables[1][None]
                 return corrupted[0], None, masks[0], pos[0], neg[0]
 
         dataset = _DeviceItems()

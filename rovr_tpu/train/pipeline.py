@@ -73,16 +73,15 @@ def default_config(vid_length: int = 20, rl_batch: int = 4,
             # 2048-d bottleneck and warm-starts far slower.
             context_policy="attention",
         ),
-        # RL + eval run on the STANDARD raster-box scheme (video_ds.py:62-87
-        # geometry): sequential contexts expose only 0.47 of the target's
-        # hole while far frames expose 1.0 — the per-frame criterion a
-        # marginal top-2 policy can learn, and the structure behind the
-        # poster's agentic-vs-sequential headline. The explicit teacher
-        # scheme is kept for the imitation stage (it needs the tables) but
-        # is provably adversarial to ANY factorized policy for RL: its
-        # marginal ceiling is 0.75 exposure vs 0.67 random
-        # (benchmarks/policy_ceiling.py). overlap_free keeps the explicit
-        # stage's teacher pairs pixel-exact.
+        # Every stage runs on the STANDARD raster-box scheme
+        # (video_ds.py:62-87 geometry): sequential contexts expose only a
+        # fraction of the target's hole while far frames expose 1.0 — the
+        # per-frame criterion a marginal top-2 policy can learn, and the
+        # structure behind the poster's agentic-vs-sequential headline.
+        # Imitation derives analytic teacher tables from the same geometry
+        # (imitation.run). The explicit teacher scheme is provably
+        # adversarial to ANY factorized policy: its marginal ceiling is
+        # 0.75 exposure vs 0.67 random (benchmarks/policy_ceiling.py).
         data=dataclasses.replace(c.data, vid_length=vid_length,
                                  frame_size=(frame, frame),
                                  synthetic_overlap_free=True,

@@ -149,3 +149,23 @@ class TestRasterSource:
             cfg.data, synthetic_scheme="explicit"))
         assert isinstance(make_source(cfg2, 1, 0, 0.5, 0.0),
                           DeviceSyntheticExplicit)
+
+    def test_negative_pairs_low_exposure(self):
+        """raster_negative_pairs pick pairs whose joint exposure of the
+        target's box is minimal — below any fully-exposing positive."""
+        from rovr_tpu.data.device_synthetic import (
+            raster_negative_pairs, raster_positive_pairs,
+        )
+
+        h = w = 160
+        neg = raster_negative_pairs(20, h, w, per_frame=3, seed=0)
+        assert neg.shape == (20, 3, 2)
+        masks = np.asarray(
+            corruption.raster_box_masks_jax(2 * np.arange(20), h, w)
+        )[..., 0]
+        hole = 1.0 - masks
+        for t in range(20):
+            for a, b in neg[t]:
+                assert a != t and b != t
+                exp = (hole[t] * (1 - hole[a] * hole[b])).sum() / hole[t].sum()
+                assert exp < 0.75, (t, a, b, exp)

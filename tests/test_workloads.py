@@ -357,3 +357,39 @@ class TestExposureAndGreedy:
         # disjoint holes: every context pair exposes everything
         assert float(metrics["Eval/exposure_sequential"]) == pytest.approx(1.0)
         assert float(metrics["Eval/exposure_agentic"]) == pytest.approx(1.0)
+class TestInference:
+    def test_reconstruct_and_write(self, tmp_path):
+        """infer.run on the tiny config: greedy rollout, frames written in
+        the reference's folder layout, PNGs decodable, restored flag off
+        without a checkpoint."""
+        import numpy as np
+
+        from rovr_tpu import infer
+
+        cfg = tiny_config()
+        summary = infer.run(
+            cfg, num_clips=2, out_dir=str(tmp_path / "rec"),
+            data_texture=0.5, data_texture_vel=0.0,
+        )
+        assert summary["clips"] >= 2 and not summary["restored"]
+        s = cfg.rl.vid_length
+        clip0 = tmp_path / "rec" / "00000"
+        frames = sorted(clip0.glob("*.png"))
+        assert len(frames) == s
+        import cv2
+
+        img = cv2.imread(str(frames[0]))
+        assert img is not None and img.shape == (32, 32, 3)
+
+    def test_png_writer_roundtrip(self, tmp_path):
+        import cv2
+        import numpy as np
+
+        from rovr_tpu.utils.png import write_png
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (16, 24, 3), np.uint8)
+        path = str(tmp_path / "x.png")
+        write_png(path, img)
+        back = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        np.testing.assert_array_equal(back, img)
