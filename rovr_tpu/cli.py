@@ -69,6 +69,10 @@ def cmd_rl(argv: List[str]) -> int:
                    help="clips per step (reference pinned to 1, test.py:18)")
     p.add_argument("--use_policy1", action="store_true",
                    help="revive the frame-selection policy + LSTM path")
+    p.add_argument("--ppo_policy1", action="store_true",
+                   help="also TRAIN pi1/V1 with PPO (the MDP the reference "
+                        "declares but ships unreachable, rovr.py:282-283); "
+                        "implies the Episode/coverage readout")
     p.add_argument("--context_policy", choices=("canvas", "attention"),
                    default="canvas",
                    help="context policy: canvas=PolicyNet2 (reference main "
@@ -80,6 +84,11 @@ def cmd_rl(argv: List[str]) -> int:
                         "UNet pass)")
     p.add_argument("--iterations", type=int, default=400,
                    help="hard stop (test.py:75-76)")
+    p.add_argument("--warm_start", type=str, default=None,
+                   help="directory written by `rovr_tpu convert` (or "
+                        "utils.convert.save_converted); its trees plug into "
+                        "init_state, replacing the reference's hardcoded "
+                        "warm-start checkpoint loads (rovr.py:37-42)")
     _base_parser(p)
     args = p.parse_args(argv)
 
@@ -91,7 +100,8 @@ def cmd_rl(argv: List[str]) -> int:
             time_steps=args.time_steps,
             n_updates_per_ppo=args.n_updates_per_ppo,
             batch_size=args.batch_size,
-            use_policy1=args.use_policy1,
+            use_policy1=args.use_policy1 or args.ppo_policy1,
+            ppo_policy1=args.ppo_policy1,
             context_policy=args.context_policy,
             sequential_baseline=args.sequential_baseline,
         ),
@@ -100,10 +110,25 @@ def cmd_rl(argv: List[str]) -> int:
 
     from rovr_tpu.train import rl
 
+    init_params = None
+    if args.warm_start:
+        from rovr_tpu.utils import convert
+
+        loaded = convert.load_converted(args.warm_start) or {}
+        supported = {
+            "local_net_params", "vp_params", "actor2_params", "lpips_params",
+            "critic2_params", "actor1_params", "vp_backbone_params",
+        }
+        init_params = {k: v for k, v in loaded.items() if k in supported}
+        for k in sorted(set(loaded) - supported):
+            print(f"[warm_start] skipping {k} (no init_state kwarg)")
+        print(f"[warm_start] plugging in: {sorted(init_params)}")
+
     def log(i, m):
         print(f"[rl {i}] " + " ".join(f"{k}={float(v):.4f}" for k, v in m.items()))
 
-    rl.run(cfg, dataset=_dataset(cfg, args), iterations=args.iterations, log_cb=log)
+    rl.run(cfg, dataset=_dataset(cfg, args), iterations=args.iterations,
+           log_cb=log, init_params=init_params)
     return 0
 
 
@@ -189,6 +214,11 @@ def cmd_pipeline(argv: List[str]) -> int:
     p.add_argument("--pretrain_steps", type=int, default=2000)
     p.add_argument("--imitation_steps", type=int, default=1500)
     p.add_argument("--rl_iterations", type=int, default=300)
+    p.add_argument("--policy1_iterations", type=int, default=0,
+                   help="Stage 5: also PPO-train the frame-selection policy "
+                        "pi1 for this many iterations (0 = skip); the "
+                        "coverage-learning demo of the MDP the reference "
+                        "declares but ships unreachable (rovr.py:282-283)")
     p.add_argument("--eval_videos", type=int, default=20)
     p.add_argument("--vid_length", type=int, default=20)
     p.add_argument("--rl_batch", type=int, default=4)
@@ -213,6 +243,7 @@ def cmd_pipeline(argv: List[str]) -> int:
         pretrain_steps=args.pretrain_steps,
         imitation_steps=args.imitation_steps,
         rl_iterations=args.rl_iterations,
+        policy1_iterations=args.policy1_iterations,
         eval_videos=args.eval_videos,
         texture=args.texture,
         texture_vel=args.texture_vel,
@@ -256,6 +287,41 @@ def cmd_reconstruct(argv: List[str]) -> int:
     return 0
 
 
+def cmd_convert(argv: List[str]) -> int:
+    """Migrate reference/torch checkpoints into framework warm starts.
+
+    Kinds map to the reference's checkpoint producers: local_net (UNet
+    pretrain, train_local_net_unet.py:120-127), policy2 (imitation,
+    imitation_learning.py:102-108), policy1, rovr (the full RL state,
+    test.py:88-93), plus the pretrained metric nets the no-egress
+    environment can't download (torchvision resnet50 / raft_small, pip
+    lpips VGG). Output loads back via `--warm_start` on the rl command or
+    utils.convert.load_converted()."""
+    from rovr_tpu.utils import convert
+
+    p = argparse.ArgumentParser("rovr_tpu convert")
+    p.add_argument("--kind", choices=convert.KINDS, required=True)
+    p.add_argument("--ckpt", type=str, required=True,
+                   help="torch .pt/.pth checkpoint or state-dict file")
+    p.add_argument("--out", type=str, required=True,
+                   help="output directory (Orbax checkpoint)")
+    args = p.parse_args(argv)
+
+    init_params, report = convert.convert_reference_checkpoint(
+        args.kind, args.ckpt
+    )
+    for name in report["converted"]:
+        print(f"[convert] converted: {name}")
+    for note in report["skipped"]:
+        print(f"[convert] skipped: {note}")
+    if not init_params:
+        print("[convert] nothing converted — wrong --kind for this file?")
+        return 1
+    path = convert.save_converted(args.out, init_params)
+    print(f"[convert] written to {path}")
+    return 0
+
+
 COMMANDS = {
     "rl": cmd_rl,
     "pretrain": cmd_pretrain,
@@ -263,6 +329,7 @@ COMMANDS = {
     "eval": cmd_eval,
     "pipeline": cmd_pipeline,
     "reconstruct": cmd_reconstruct,
+    "convert": cmd_convert,
 }
 
 

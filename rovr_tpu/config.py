@@ -131,6 +131,14 @@ class RLConfig:
     # Revive the frame-selection policy π₁ + ActionLSTM history path (disabled
     # in the reference's shipped main path, rovr.py:118-128: target = j).
     use_policy1: bool = False
+    # Also TRAIN π₁/V₁ with PPO from the shared reward stream. The reference
+    # declares this in its MDP (poster) but ships it unreachable — ppo(1, ...)
+    # raises (rovr.py:282-283) and the pn1 update call is commented out
+    # (rovr.py:75-76). Beyond-parity feature: with free frame selection the
+    # learnable signal is COVERAGE (re-reconstructing a frame earns ~zero
+    # marginal LPIPS improvement after curr_loss updates, rovr.py:202-205),
+    # read out by the Episode/coverage metric. Requires use_policy1.
+    ppo_policy1: bool = False
     # Context-selection policy implementation: "canvas" = PolicyNet2 over the
     # state canvas (the reference's main path), "attention" = the revived
     # transformer policy over per-frame feature tokens (config 5 long clips).

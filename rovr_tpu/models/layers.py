@@ -148,8 +148,18 @@ class MLP(nn.Module):
 
 
 def standardize(x: jnp.ndarray, axis, eps: float, keepdims: bool = True):
-    """(x - mean) / (std + eps) with torch-style unbiased std."""
+    """(x - mean) / (std + eps) with torch-style unbiased std.
+
+    sqrt carries a tiny epsilon INSIDE: d/dx sqrt(var) is infinite at
+    var=0, and a constant column (e.g. a ReLU-dead feature across the PPO
+    batch in PolicyNet2.value's axis-0 standardization) then produces
+    0*inf = NaN gradients that NaN the critic parameters one Adam step
+    later. sqrt(var + 1e-12) shifts std by <=1e-6 absolute — far below
+    bf16 resolution — and makes the gradient of a constant column exactly
+    0. (The reference's torch .std() has the same infinite gradient at 0;
+    its PPO critic path would NaN identically, it just never runs long
+    enough on the canvas policy to show it.)"""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=axis, keepdims=keepdims)
     var = jnp.var(x32, axis=axis, keepdims=keepdims, ddof=1)
-    return ((x32 - mean) / (jnp.sqrt(var) + eps)).astype(x.dtype)
+    return ((x32 - mean) / (jnp.sqrt(var + 1e-12) + eps)).astype(x.dtype)

@@ -34,6 +34,13 @@ class PolicyNet1(nn.Module):
     temperature: float = 0.5
     is_critic: bool = False
     dtype: Any = jnp.bfloat16
+    # Restrict sampling to the first `valid_frames` logits. The reference's
+    # head is a fixed 400->25 (policy_net_1.py:13) while clips carry
+    # vid_length (default 20) frames — harmless there because π₁ is dead
+    # code (rovr.py:118-128), but a TRAINED π₁ sampling index >= vid_length
+    # would select an empty canvas tile and hit clamped gathers downstream.
+    # None = no masking (pure reference parity).
+    valid_frames: Any = None
 
     def setup(self):
         c1, c2, c3, c4 = self.channels
@@ -74,6 +81,15 @@ class PolicyNet1(nn.Module):
         feat = standardize(feat, axis=1, eps=0.0)
         return self.fc_final(feat)
 
+    def _mask_invalid(self, logits: jnp.ndarray) -> jnp.ndarray:
+        """-1e9 on logits beyond valid_frames so softmax support is exactly
+        the frames that exist (no-op when valid_frames is None or covers the
+        whole head)."""
+        if self.valid_frames is None or self.valid_frames >= self.num_frames:
+            return logits
+        ok = jnp.arange(self.num_frames) < self.valid_frames
+        return jnp.where(ok, logits, jnp.float32(-1e9))
+
     def __call__(self, image, context, rng):
         return self.act(image, context, rng)
 
@@ -83,7 +99,8 @@ class PolicyNet1(nn.Module):
             raise ValueError("act() is for the actor head")
         logits = self.logits(image, context)
         logits = standardize(logits, axis=1, eps=0.1)  # policy_net_1.py:99
-        logp = gumbel_log_softmax(logits, rng, self.temperature)
+        logp = gumbel_log_softmax(self._mask_invalid(logits), rng,
+                                  self.temperature)
         action = jnp.argmax(logp, axis=1)
         logprob = jnp.max(logp, axis=1)
         return jax.lax.stop_gradient(action), jax.lax.stop_gradient(logprob)
@@ -92,7 +109,8 @@ class PolicyNet1(nn.Module):
         """Recompute log-prob of `action` with fresh Gumbel noise
         (policy_net_1.py:107-114)."""
         logits = self.logits(image, context)
-        logp = gumbel_log_softmax(logits, rng, self.temperature)
+        logp = gumbel_log_softmax(self._mask_invalid(logits), rng,
+                                  self.temperature)
         return jnp.take_along_axis(logp, action[:, None], axis=1)[:, 0]
 
     def value(self, image, context) -> jnp.ndarray:

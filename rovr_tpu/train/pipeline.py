@@ -109,11 +109,20 @@ def run(
     texture_vel: float = 0.0,
     pretrain_clips: int = 32,
     out_path: Optional[str] = None,
+    policy1_iterations: int = 0,
 ) -> Dict[str, Any]:
     """Run all four stages; return (and optionally write) the full record:
     stage metric curves + held-out eval for the trained policy, a
     random-policy control (same pretrained UNet, untrained actor), and the
-    sequential baseline riding along in each."""
+    sequential baseline riding along in each.
+
+    `policy1_iterations > 0` appends Stage 5: PPO on the frame-selection
+    policy π₁ (cfg.rl.ppo_policy1 — the MDP the reference declares but ships
+    unreachable, rovr.py:282-283) warm-started with the pretrained UNet and
+    the Stage-2/3 context policy. Its learnable signal is COVERAGE: once a
+    frame is reconstructed its curr_loss updates (rovr.py:202-205), so
+    re-selecting it earns ~zero marginal reward; Episode/coverage should
+    climb from the random-policy ~1-(1-1/S)^T toward 1.0."""
     from rovr_tpu.train import evaluate, imitation, pretrain_local, rl
     from rovr_tpu.utils.compilation_cache import enable as enable_compile_cache
 
@@ -233,6 +242,49 @@ def run(
         data_texture=texture, data_texture_vel=texture_vel,
         weights="random",
     )
+    # ---- Stage 5 (optional): PPO on the frame-selection policy π₁.
+    if policy1_iterations > 0:
+        t4 = time.time()
+        p1_cfg = cfg.replace(
+            rl=dataclasses.replace(
+                cfg.rl, use_policy1=True, ppo_policy1=True
+            )
+        )
+        p1_curve: List[Dict[str, float]] = []
+        # Context policy π₂ comes in RL-trained from Stage 3 so only frame
+        # selection is left to learn; π₁/V₁/LSTM start fresh.
+        warm5 = dict(warm, actor2_params=rl_state.actor2_params)
+        rl.run(
+            p1_cfg, iterations=policy1_iterations,
+            log_cb=_collect(p1_curve), init_params=warm5,
+            data_texture=texture, data_texture_vel=texture_vel,
+        )
+        record["policy1"] = p1_curve
+
+        def _avg(rows, key, n):
+            vals = [r[key] for r in rows if key in r]
+            vals = vals[-n:] if n > 0 else vals[:-n]
+            return sum(vals) / max(1, len(vals))
+
+        s_frames = p1_cfg.rl.vid_length
+        t_steps = p1_cfg.rl.time_steps
+        record["policy1_summary"] = {
+            "coverage_first10": _avg(p1_curve, "Episode/coverage", -10),
+            "coverage_last10": _avg(p1_curve, "Episode/coverage", 10),
+            "return_first10": _avg(p1_curve, "Episode/return", -10),
+            "return_last10": _avg(p1_curve, "Episode/return", 10),
+            "coverage_random_expected": (
+                (1.0 - (1.0 - 1.0 / s_frames) ** t_steps) * s_frames / t_steps
+            ),
+        }
+        ps = record["policy1_summary"]
+        print(f"[pipeline] policy1 RL done in {time.time() - t4:.0f}s: "
+              f"coverage {ps['coverage_first10']:.3f} -> "
+              f"{ps['coverage_last10']:.3f} "
+              f"(random {ps['coverage_random_expected']:.3f}, ceiling 1.0); "
+              f"return {ps['return_first10']:.3f} -> "
+              f"{ps['return_last10']:.3f}")
+
     record["wall_seconds"] = time.time() - t0
     et, er = record["eval_trained"], record["eval_random_policy"]
     print(

@@ -107,6 +107,11 @@ class Trajectory(struct.PyTreeNode):
     actions: jnp.ndarray       # (T, B, 2) context pair
     logprobs: jnp.ndarray      # (T, B) behavior-policy logprobs
     rtgs: jnp.ndarray          # (T, B) rewards-to-go of marginal rewards
+    # π₁ trajectory (cfg.rl.use_policy1 only; None otherwise). target_idx
+    # doubles as π₁'s action; obs1 = (canvas, lstm_token) is its observation
+    # BEFORE the step's tile insert (the state π₁ acted on).
+    obs1: Any = None           # tuple of (T, B, 80, 80, 3)-ish tensors
+    logprobs1: Any = None      # (T, B) behavior logprobs of target_idx
 
 
 class RolloutOut(NamedTuple):
@@ -153,6 +158,10 @@ def make_modules(cfg: Config, dtype=None, mesh=None) -> ROVRModules:
     pn1 = dict(
         num_frames=m.pn1_num_frames, channels=m.pn1_channels,
         temperature=m.pn1_temperature, dtype=dt,
+        # The reference head is a fixed 25-way (policy_net_1.py:13) while
+        # clips carry vid_length frames; restrict sampling to frames that
+        # exist (see PolicyNet1.valid_frames).
+        valid_frames=cfg.rl.vid_length,
     )
     return ROVRModules(
         vp=VideoProcessor(
@@ -185,9 +194,15 @@ def init_state(
     vp_params=None,
     actor2_params=None,
     lpips_params=None,
+    critic2_params=None,
+    actor1_params=None,
+    vp_backbone_params=None,
 ) -> ROVRState:
     """Fresh state; pretrained/warm-started params plug in by argument
     (replaces the reference's hardcoded checkpoint paths, rovr.py:38-42).
+    `vp_backbone_params` splices converted ResNet-50 weights into a freshly
+    initialized VideoProcessor (utils/convert.py migration path: the
+    reference's projection head has no twin here).
 
     Jitted with cfg/mods static: eager flax init dispatches hundreds of tiny
     ops, which is pathological over the axon TPU tunnel (~150 s observed);
@@ -206,6 +221,8 @@ def init_state(
     token = jnp.zeros((1, m.canvas_size, m.canvas_size, 1))
 
     vp_p = vp_params or mods.vp.init(ks[0], frames)["params"]
+    if vp_backbone_params is not None:
+        vp_p = dict(vp_p, backbone=vp_backbone_params)
     if cfg.rl.context_policy == "attention":
         from rovr_tpu.models.policy_attention import AttentionContextPolicy
 
@@ -213,17 +230,17 @@ def init_state(
         a2_p = actor2_params or mods.actor2.init(
             ks[1], feats_seq, tgt0, ks[1]
         )["params"]
-        c2_p = mods.critic2.init(
+        c2_p = critic2_params or mods.critic2.init(
             ks[2], feats_seq, tgt0, method=AttentionContextPolicy.value
         )["params"]
     else:
         a2_p = actor2_params or mods.actor2.init(
             ks[1], canvas, feat, tgt0, ks[1]
         )["params"]
-        c2_p = mods.critic2.init(
+        c2_p = critic2_params or mods.critic2.init(
             ks[2], canvas, feat, method=PolicyNet2.value
         )["params"]
-    a1_p = mods.actor1.init(ks[3], canvas, token, ks[3])["params"]
+    a1_p = actor1_params or mods.actor1.init(ks[3], canvas, token, ks[3])["params"]
     c1_p = mods.critic1.init(
         ks[4], canvas, token, method=PolicyNet1.value
     )["params"]
@@ -377,11 +394,13 @@ def rollout(
 
         if rl.use_policy1:
             # Revived π₁ path (rovr.py:118-128, commented in the reference).
-            tgt, _lp1 = mods.actor1.apply(
+            obs1 = (cvs, token)
+            tgt, lp1 = mods.actor1.apply(
                 {"params": state.actor1_params}, cvs, token, k1
             )
         else:
             # Shipped main path: sequential target (rovr.py:129).
+            obs1, lp1 = None, None
             tgt = jnp.full((b,), t % s, jnp.int32)
 
         tgt_feat = jax.vmap(lambda f, i: f[i])(fts, tgt)
@@ -470,6 +489,7 @@ def rollout(
             actions=acs, logprobs=logp, marginal=marginal,
             lpips=lpips_now,
             mse=jnp.mean((y_hat - org_tgt) ** 2, axis=(1, 2, 3)),
+            obs1=obs1, logprobs1=lp1,
         )
         return (recon, exp_video, cvs, fts, cl, lstm_c, token, key), out
 
@@ -493,12 +513,23 @@ def rollout(
         actions=ys["actions"],
         logprobs=ys["logprobs"],
         rtgs=rtgs,
+        obs1=ys["obs1"],
+        logprobs1=ys["logprobs1"],
+    )
+    # Coverage: distinct frames reconstructed per episode / steps. The
+    # frame-selection learning signal (re-reconstructing a frame earns ~zero
+    # marginal reward once curr_loss updates, rovr.py:202-205): sequential
+    # targeting scores 1.0, a random π₁ ≈ (1-(1-1/S)^T)·S/T (~0.64 at S=T=20).
+    distinct = jnp.sum(
+        jnp.any(jax.nn.one_hot(ys["target_idx"], s, dtype=jnp.bool_), axis=0),
+        axis=1,
     )
     metrics = {
         "Episode/lpips_loss": jnp.mean(ys["lpips"]),
         "Episode/mse_loss": jnp.mean(ys["mse"]),
         "Episode/mean_reward": jnp.mean(ys["marginal"]),
         "Episode/return": jnp.mean(jnp.sum(ys["marginal"], axis=0)),
+        "Episode/coverage": jnp.mean(distinct / t_steps),
     }
     return RolloutOut(
         traj=jax.lax.stop_gradient(traj),
@@ -564,10 +595,64 @@ def ppo_update(
         actor2_params=a_p, actor2_opt=a_opt,
         critic2_params=c_p, critic2_opt=c_opt,
     )
-    return state, {
+    metrics = {
         "PPO/actor_loss": a_losses[-1],
         "PPO/critic_loss": c_losses[-1],
     }
+
+    if rl.use_policy1 and rl.ppo_policy1 and traj.obs1 is not None:
+        # PPO on π₁/V₁ from the same reward stream — the MDP the reference
+        # declares but ships unreachable (ppo(1, ...) raises, rovr.py:282-283;
+        # the update call is commented out, rovr.py:75-76). target_idx is
+        # π₁'s action; obs1 the (canvas, lstm_token) it acted on.
+        cvs1, tok1 = (_flat(x) for x in traj.obs1)
+        act1 = _flat(traj.target_idx)
+        old_lp1 = _flat(traj.logprobs1)
+
+        v1 = mods.critic1.apply(
+            {"params": state.critic1_params}, cvs1, tok1,
+            method=PolicyNet1.value,
+        )
+        adv1 = normalized_advantage(rtgs, v1)
+
+        def actor1_loss_fn(params, key):
+            lp = mods.actor1.apply(
+                {"params": params}, cvs1, tok1, act1, key,
+                method=PolicyNet1.logprob,
+            )
+            return ppo_clip_actor_loss(lp, old_lp1, adv1, rl.clip)
+
+        def critic1_loss_fn(params):
+            v = mods.critic1.apply(
+                {"params": params}, cvs1, tok1, method=PolicyNet1.value
+            )
+            return critic_loss(v, rtgs)
+
+        def epoch1(carry, key):
+            a_p, a_opt, c_p, c_opt = carry
+            a_loss, a_grads = jax.value_and_grad(actor1_loss_fn)(a_p, key)
+            a_up, a_opt = mods.actor_tx.update(a_grads, a_opt, a_p)
+            a_p = optax.apply_updates(a_p, a_up)
+            c_loss, c_grads = jax.value_and_grad(critic1_loss_fn)(c_p)
+            c_up, c_opt = mods.critic_tx.update(c_grads, c_opt, c_p)
+            c_p = optax.apply_updates(c_p, c_up)
+            return (a_p, a_opt, c_p, c_opt), (a_loss, c_loss)
+
+        keys1 = jax.random.split(jax.random.fold_in(rng, 1), rl.n_updates_per_ppo)
+        (a1_p, a1_opt, c1_p, c1_opt), (a1_losses, c1_losses) = jax.lax.scan(
+            epoch1,
+            (state.actor1_params, state.actor1_opt,
+             state.critic1_params, state.critic1_opt),
+            keys1,
+        )
+        state = state.replace(
+            actor1_params=a1_p, actor1_opt=a1_opt,
+            critic1_params=c1_p, critic1_opt=c1_opt,
+        )
+        metrics["PPO/actor1_loss"] = a1_losses[-1]
+        metrics["PPO/critic1_loss"] = c1_losses[-1]
+
+    return state, metrics
 
 
 def _train_step(

@@ -123,6 +123,29 @@ class TestPolicyNet1:
         action, _ = actor.apply(params, image, token, rng)
         assert action.shape == (1,)
 
+    def test_valid_frames_masking(self, rng):
+        """With the reference's fixed 25-way head (policy_net_1.py:13) but a
+        shorter clip, valid_frames restricts both sampling and logprob
+        support to frames that exist — a trained π₁ must never select an
+        empty canvas tile (clamped gathers downstream)."""
+        actor = PolicyNet1(dtype=DT, valid_frames=5)
+        image = jnp.ones((4, 80, 80, 3))
+        token = jnp.zeros((4, 80, 80, 3))
+        params = actor.init(rng, image, token, rng)
+        actions = []
+        for i in range(16):
+            a, lp = actor.apply(params, image, token, jax.random.PRNGKey(i))
+            actions.append(np.asarray(a))
+            assert np.all(np.isfinite(np.asarray(lp)))
+        actions = np.concatenate(actions)
+        assert np.all(actions < 5), actions
+        # invalid indices carry ~zero probability in the PPO logprob path
+        bad = jnp.full((4,), 7, jnp.int32)
+        lp_bad = actor.apply(
+            params, image, token, bad, rng, method=PolicyNet1.logprob
+        )
+        assert np.all(np.asarray(lp_bad) < -1e6)
+
     def test_critic_value(self, rng):
         critic = PolicyNet1(dtype=DT, is_critic=True)
         image = jnp.ones((2, 80, 80, 3))
@@ -235,3 +258,25 @@ class TestActionLSTM:
         # stateful across steps: second call with new carry differs
         (_, _), token2 = lstm.apply(params, (hx, cx), actions, patches)
         assert not np.allclose(np.asarray(token), np.asarray(token2))
+
+
+class TestStandardize:
+    def test_constant_column_gradient_finite(self):
+        """Regression: d/dx sqrt(var) is infinite at var=0, so a constant
+        column across the PPO batch (a ReLU-dead feature in
+        PolicyNet2.value's axis-0 standardization) produced 0*inf = NaN
+        gradients that NaN'd the critic one Adam step later. standardize
+        must give exactly-zero (finite) gradients for constant columns."""
+        from rovr_tpu.models.layers import standardize
+
+        x = jnp.concatenate(
+            [jnp.zeros((8, 3)), jax.random.normal(jax.random.PRNGKey(0), (8, 3))],
+            axis=1,
+        )
+
+        def loss(x):
+            return jnp.sum(standardize(x, axis=0, eps=0.001) ** 2)
+
+        g = jax.grad(loss)(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+        np.testing.assert_array_equal(np.asarray(g[:, :3]), 0.0)

@@ -138,6 +138,37 @@ class TestRollout:
         out = rl.rollout(state, mods, cfg, org, org, key)
         tgt = np.asarray(out.traj.target_idx)
         assert np.all(tgt >= 0) and np.all(tgt < 4)
+        # π₁ trajectory recorded for the PPO-on-π₁ path
+        assert out.traj.obs1 is not None and out.traj.logprobs1 is not None
+
+    def test_policy1_ppo_trains_actor1(self):
+        """cfg.rl.ppo_policy1: PPO updates π₁/V₁ from the shared reward
+        stream (the MDP the reference declares but ships unreachable —
+        ppo(1, ...) raises, rovr.py:282-283) and reports finite losses plus
+        the Episode/coverage readout."""
+        cfg = tiny_config(use_policy1=True)
+        cfg = cfg.replace(rl=dataclasses.replace(cfg.rl, ppo_policy1=True))
+        mods = rl.make_modules(cfg, dtype=DT)
+        state = rl.init_state(cfg, mods, jax.random.PRNGKey(0))
+        h, w = cfg.data.frame_size
+        org = jax.random.uniform(jax.random.PRNGKey(5), (2, 4, h, w, 3))
+        video = jnp.clip(org + 0.1, 0, 1)
+        new_state, metrics, _ = rl._train_step(
+            state, mods, cfg, video, org, jax.random.PRNGKey(7)
+        )
+        assert "PPO/actor1_loss" in metrics and "PPO/critic1_loss" in metrics
+        assert "Episode/coverage" in metrics
+        assert 0.0 < float(metrics["Episode/coverage"]) <= 1.0
+        for v in metrics.values():
+            assert np.isfinite(float(v))
+        for old, new, name in (
+            (state.actor1_params, new_state.actor1_params, "actor1"),
+            (state.critic1_params, new_state.critic1_params, "critic1"),
+        ):
+            d = jax.tree.map(
+                lambda a, b: float(jnp.sum(jnp.abs(a - b))), old, new
+            )
+            assert sum(jax.tree_util.tree_leaves(d)) > 0.0, name
 
 
 class TestPPO:
