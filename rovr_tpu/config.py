@@ -101,6 +101,12 @@ class ModelConfig:
     # blocks split into mesh.shape[model] stages, this many microbatches
     # streamed per step. 0 = sequential (single-chip) application.
     attn_pp_microbatches: int = 0
+    # > 0: replace each encoder block's dense FFN with this many
+    # switch-routed experts (models/moe.py); experts shard over the mesh's
+    # model axis when make_modules gets a mesh — the expert-parallel (EP)
+    # option. 0 = dense FFN (reference FFN shape, common_layers.py:80-92).
+    attn_moe_experts: int = 0
+    attn_moe_capacity: float = 1.25
     # Compute dtype for conv/matmul-heavy paths. Params stay float32.
     compute_dtype: str = "bfloat16"
     # Feature-extractor trunk: "resnet50" (reference parity) or "tiny"

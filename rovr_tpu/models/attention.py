@@ -157,7 +157,11 @@ class FeedForwardBlock(nn.Module):
 
 
 class EncoderBlock(nn.Module):
-    """x + SA(x); x + FF(x) (common_layers.py:94-105)."""
+    """x + SA(x); x + FF(x) (common_layers.py:94-105).
+
+    moe_experts > 0 swaps the dense FFN for a switch-routed
+    mixture-of-experts (models/moe.py) whose expert axis shards over
+    `moe_axis` of `mesh` — the expert-parallel (EP) option."""
 
     hidden_dim: int
     num_heads: int
@@ -166,6 +170,9 @@ class EncoderBlock(nn.Module):
     attn_impl: str = "auto"
     mesh: Any = None
     seq_axis: Optional[str] = None
+    moe_experts: int = 0
+    moe_capacity: float = 1.25
+    moe_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -173,9 +180,17 @@ class EncoderBlock(nn.Module):
             self.hidden_dim, self.num_heads, self.dropout, self.dtype,
             self.attn_impl, self.mesh, self.seq_axis,
         )(x)
-        x = x + FeedForwardBlock(self.hidden_dim, self.dropout, self.dtype)(
-            x, deterministic
-        )
+        if self.moe_experts > 0:
+            from rovr_tpu.models.moe import MoEFeedForward
+
+            x = x + MoEFeedForward(
+                self.hidden_dim, self.moe_experts, self.moe_capacity,
+                self.dtype, self.mesh, self.moe_axis, name="moe_ff",
+            )(x, deterministic)
+        else:
+            x = x + FeedForwardBlock(
+                self.hidden_dim, self.dropout, self.dtype
+            )(x, deterministic)
         return x
 
 

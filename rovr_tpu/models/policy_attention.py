@@ -58,6 +58,11 @@ class AttentionContextPolicy(nn.Module):
     # mesh.shape[model] stages, this many microbatches streamed through.
     # Requires mesh; depth must divide by the model-axis size.
     pp_microbatches: int = 0
+    # expert parallelism (models/moe.py): > 0 swaps each block's dense FFN
+    # for this many switch-routed experts, sharded over the mesh's model
+    # axis when a mesh is bound.
+    moe_experts: int = 0
+    moe_capacity: float = 1.25
 
     def setup(self):
         p = self.patch_tokens
@@ -76,11 +81,18 @@ class AttentionContextPolicy(nn.Module):
             "target_emb", nn.initializers.normal(0.02),
             (self.hidden_dim,), jnp.float32,
         )
+        moe_axis = None
+        if self.moe_experts > 0 and self.mesh is not None:
+            from rovr_tpu.parallel.mesh import MODEL_AXIS
+
+            moe_axis = MODEL_AXIS
         self.blocks = [
             EncoderBlock(
                 self.hidden_dim, self.num_heads, dtype=self.dtype,
                 attn_impl=self.attn_impl, mesh=self.mesh,
                 seq_axis=self.seq_axis, name=f"block{i}",
+                moe_experts=self.moe_experts,
+                moe_capacity=self.moe_capacity, moe_axis=moe_axis,
             )
             for i in range(self.depth)
         ]
@@ -106,10 +118,13 @@ class AttentionContextPolicy(nn.Module):
         from rovr_tpu.parallel.pp import pipeline_layers
 
         # Unbound single-block template: same hyperparams as self.blocks but
-        # never ring (the sequence stays whole inside a pipeline stage).
+        # never ring (the sequence stays whole inside a pipeline stage), and
+        # MoE without the mesh constraint (each stage's experts live on its
+        # own device under shard_map).
         template = EncoderBlock(
             self.hidden_dim, self.num_heads, dtype=self.dtype,
             attn_impl="jnp" if self.attn_impl == "ring" else self.attn_impl,
+            moe_experts=self.moe_experts, moe_capacity=self.moe_capacity,
             parent=None,  # detached template, applied with explicit params
         )
         layer_params = [blk.variables["params"] for blk in self.blocks]

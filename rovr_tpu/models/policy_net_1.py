@@ -41,6 +41,16 @@ class PolicyNet1(nn.Module):
     # would select an empty canvas tile and hit clamped gathers downstream.
     # None = no masking (pure reference parity).
     valid_frames: Any = None
+    # Noise-free logprobs for PPO (the cfg.rl.ppo_policy1 training path).
+    # The reference recomputes logprobs with FRESH Gumbel noise
+    # (policy_net_1.py:107-114), which makes the PPO ratio
+    # exp(lp_new - lp_old) noise-dominated — measured: 300 iterations of
+    # π₁ PPO left coverage flat (results/pipeline_tpu.json policy1 curve).
+    # Gumbel-max sampling draws EXACTLY from softmax(logits), so the true
+    # action log-probability is log_softmax(logits)[action], available
+    # without noise; exact mode uses it in both act() and logprob().
+    # False = the reference's noisy form (parity; π₁ is dead code there).
+    exact_logprob: bool = False
 
     def setup(self):
         c1, c2, c3, c4 = self.channels
@@ -99,18 +109,33 @@ class PolicyNet1(nn.Module):
             raise ValueError("act() is for the actor head")
         logits = self.logits(image, context)
         logits = standardize(logits, axis=1, eps=0.1)  # policy_net_1.py:99
-        logp = gumbel_log_softmax(self._mask_invalid(logits), rng,
-                                  self.temperature)
+        masked = self._mask_invalid(logits)
+        logp = gumbel_log_softmax(masked, rng, self.temperature)
         action = jnp.argmax(logp, axis=1)
-        logprob = jnp.max(logp, axis=1)
+        if self.exact_logprob:
+            # argmax(logits + g) samples from softmax(logits) (Gumbel-max);
+            # the true behavior logprob is noise-free.
+            exact = jax.nn.log_softmax(masked.astype(jnp.float32), axis=1)
+            logprob = jnp.take_along_axis(exact, action[:, None], axis=1)[:, 0]
+        else:
+            logprob = jnp.max(logp, axis=1)
         return jax.lax.stop_gradient(action), jax.lax.stop_gradient(logprob)
 
     def logprob(self, image, context, action, rng) -> jnp.ndarray:
-        """Recompute log-prob of `action` with fresh Gumbel noise
+        """Recompute log-prob of `action`: noise-free log_softmax in exact
+        mode (see exact_logprob), else with fresh Gumbel noise
         (policy_net_1.py:107-114)."""
         logits = self.logits(image, context)
-        logp = gumbel_log_softmax(self._mask_invalid(logits), rng,
-                                  self.temperature)
+        if self.exact_logprob:
+            # same standardized+masked form as act() so the PPO ratio is 1
+            # at unchanged parameters
+            logits = standardize(logits, axis=1, eps=0.1)
+            logp = jax.nn.log_softmax(
+                self._mask_invalid(logits).astype(jnp.float32), axis=1
+            )
+        else:
+            logp = gumbel_log_softmax(self._mask_invalid(logits), rng,
+                                      self.temperature)
         return jnp.take_along_axis(logp, action[:, None], axis=1)[:, 0]
 
     def value(self, image, context) -> jnp.ndarray:

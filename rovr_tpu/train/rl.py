@@ -131,6 +131,8 @@ def make_modules(cfg: Config, dtype=None, mesh=None) -> ROVRModules:
         from rovr_tpu.models.policy_attention import AttentionContextPolicy
 
         needs_mesh = m.attn_impl == "ring" or m.attn_pp_microbatches > 0
+        # MoE runs fine without a mesh (single-device semantics); with one,
+        # its expert axis shards over the model axis (EP).
         if needs_mesh and mesh is None:
             raise ValueError(
                 "attn_impl='ring' / attn_pp_microbatches>0 require "
@@ -142,9 +144,11 @@ def make_modules(cfg: Config, dtype=None, mesh=None) -> ROVRModules:
             depth=m.attn_depth, patch_tokens=m.attn_patch_tokens,
             temperature=m.pn2_temperature, dtype=dt,
             attn_impl=m.attn_impl,
-            mesh=mesh if needs_mesh else None,
+            mesh=mesh if (needs_mesh or (m.attn_moe_experts > 0 and mesh is not None)) else None,
             seq_axis=cfg.mesh.model_axis if m.attn_impl == "ring" else None,
             pp_microbatches=m.attn_pp_microbatches,
+            moe_experts=m.attn_moe_experts,
+            moe_capacity=m.attn_moe_capacity,
         )
         actor2 = AttentionContextPolicy(**attn)
         critic2 = AttentionContextPolicy(**attn, is_critic=True)
@@ -162,6 +166,10 @@ def make_modules(cfg: Config, dtype=None, mesh=None) -> ROVRModules:
         # clips carry vid_length frames; restrict sampling to frames that
         # exist (see PolicyNet1.valid_frames).
         valid_frames=cfg.rl.vid_length,
+        # When π₁ is actually TRAINED, PPO ratios need noise-free logprobs
+        # (see PolicyNet1.exact_logprob); the dead-code parity form keeps
+        # the reference's Gumbel-noised recompute otherwise.
+        exact_logprob=cfg.rl.ppo_policy1,
     )
     return ROVRModules(
         vp=VideoProcessor(

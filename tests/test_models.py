@@ -146,6 +146,25 @@ class TestPolicyNet1:
         )
         assert np.all(np.asarray(lp_bad) < -1e6)
 
+    def test_exact_logprob_consistent(self, rng):
+        """exact_logprob (the ppo_policy1 training mode): act's behavior
+        logprob equals logprob()'s recompute at identical params — the PPO
+        ratio starts at exactly 1, unlike the reference's Gumbel-noised
+        recompute (policy_net_1.py:107-114) whose ratio is noise."""
+        actor = PolicyNet1(dtype=DT, exact_logprob=True, valid_frames=5)
+        image = jax.random.normal(rng, (3, 80, 80, 3))
+        token = jnp.zeros((3, 80, 80, 3))
+        params = actor.init(rng, image, token, rng)
+        action, lp_act = actor.apply(params, image, token, jax.random.PRNGKey(3))
+        lp_re = actor.apply(
+            params, image, token, action, jax.random.PRNGKey(99),
+            method=PolicyNet1.logprob,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lp_act), np.asarray(lp_re), rtol=1e-5, atol=1e-6
+        )
+        assert np.all(np.asarray(action) < 5)
+
     def test_critic_value(self, rng):
         critic = PolicyNet1(dtype=DT, is_critic=True)
         image = jnp.ones((2, 80, 80, 3))
