@@ -1,0 +1,84 @@
+"""Serving throughput: greedy agentic reconstruction, clips and frames/s.
+
+The training bench (bench.py) times the full RL train step; this times the
+INFERENCE path a deployment would run (rovr_tpu/infer.py): deterministic
+greedy rollout — policy context selection + UNet inpainting per timestep —
+with no LPIPS rewards, no PPO, no grads. The reference has no inference
+entry point at all (its only model consumer is the training loop,
+test.py:64-93).
+
+Usage: python benchmarks/infer_bench.py   (env: INFER_BATCH, INFER_STEPS)
+Prints one JSON line {"metric": "reconstruct_frames_per_sec", ...}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+
+def main() -> None:
+    batch = int(os.environ.get("INFER_BATCH", "8"))
+    steps = int(os.environ.get("INFER_STEPS", "5"))
+    vid_length = int(os.environ.get("INFER_VID_LENGTH", "20"))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rovr_tpu.utils.compilation_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
+    from rovr_tpu.config import Config
+    from rovr_tpu.data import synthetic
+    from rovr_tpu import infer
+    from rovr_tpu.train import rl
+
+    c = Config()
+    cfg = c.replace(
+        rl=dataclasses.replace(
+            c.rl, vid_length=vid_length, time_steps=vid_length,
+            batch_size=batch, greedy=True, sequential_baseline=False,
+        ),
+        data=dataclasses.replace(c.data, vid_length=vid_length),
+    )
+    mods = rl.make_modules(cfg)
+    state = rl.init_state(cfg, mods, jax.random.PRNGKey(0))
+
+    h, w = cfg.data.frame_size
+    clips = [synthetic.synthetic_batch(j, vid_length, h, w)[0]
+             for j in range(batch)]
+    video = np.stack(clips)
+
+    # first yield = compile warmup (same jitted closure as the timed ones);
+    # timer starts after it so only steady-state batches are measured
+    t0 = None
+    done = 0
+    for recon, actions in infer.reconstruct_clips(
+        cfg, state, mods, [video] * (steps + 1)
+    ):
+        if t0 is None:
+            t0 = time.time()
+        else:
+            done += 1
+    dt = (time.time() - t0) / max(1, done)
+    frames = batch * vid_length
+    print(json.dumps({
+        "metric": "reconstruct_frames_per_sec",
+        "value": round(frames / dt, 3),
+        "unit": "frames/sec",
+        "detail": {
+            "sec_per_batch": round(dt, 4),
+            "batch": batch,
+            "vid_length": vid_length,
+            "frame": [h, w],
+            "device": jax.devices()[0].device_kind,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
