@@ -34,11 +34,19 @@ def reconstruct_clips(
     mods,
     videos: Iterable[jnp.ndarray],
 ) -> Iterable[Tuple[np.ndarray, np.ndarray]]:
-    """Yield (reconstructed, actions) per (B, S, H, W, 3) corrupted batch.
+    """Yield (reconstructed uint8, actions) per (B, S, H, W, 3) corrupted
+    batch.
 
     Greedy deterministic rollout: cfg.rl.greedy is forced on (the standard
     policy readout — the stochastic Gumbel path is for training,
     rovr.py:141); the sequential baseline pass is forced off.
+
+    The reconstruction leaves the device as uint8 pixels: serving output is
+    image files, and shipping float32 quadruples D2H bytes — which is THE
+    serving bottleneck here (a single jax fetch of the ~31 MB float batch
+    collapses to <1 MB/s over the axon tunnel, 9.1 s/batch vs ~0.2 s of
+    rollout compute; docs/performance.md). uint8 + chunked parallel fetch
+    (utils/transfer.py) recover most of it.
     """
     from rovr_tpu.train import rl
 
@@ -50,22 +58,39 @@ def reconstruct_clips(
 
     @jax.jit
     def _run(video):
+        # uint8 input (a deployment's natural frame format) converts on
+        # device — 4x fewer H2D bytes than shipping float32
+        if video.dtype == jnp.uint8:
+            video = video.astype(jnp.float32) / 255.0
         out = rl.rollout(
             state, mods, cfg, video, video, jax.random.PRNGKey(cfg.run.seed)
         )
-        return out.reconstructed, out.traj.actions
+        recon_u8 = jnp.clip(
+            out.reconstructed.astype(jnp.float32) * 255.0 + 0.5, 0.0, 255.0
+        ).astype(jnp.uint8)
+        return recon_u8, out.traj.actions
+
+    from rovr_tpu.utils.transfer import chunked_device_get
 
     for video in videos:
         recon, actions = _run(jnp.asarray(video))
+        recon, actions = chunked_device_get((recon, actions))
         yield np.asarray(recon), np.asarray(actions)
 
 
 def write_frames(recon: np.ndarray, out_dir: str, clip_offset: int = 0) -> int:
-    """Write (B, S, H, W, 3) float [0,1] as out_dir/<clip>/<frame>.png
-    (the reference's folder layout, video_ds.py:104). Returns frames written.
-    Uses cv2 when available, else PNG via pure-python fallback."""
+    """Write (B, S, H, W, 3) frames — uint8, or float in [0,1] — as
+    out_dir/<clip>/<frame>.png (the reference's folder layout,
+    video_ds.py:104). Returns frames written. Uses cv2 when available, else
+    PNG via pure-python fallback."""
     n = 0
-    u8 = np.clip(np.asarray(recon, np.float32) * 255.0, 0, 255).astype(np.uint8)
+    recon = np.asarray(recon)
+    if recon.dtype == np.uint8:
+        u8 = recon
+    else:
+        u8 = np.clip(
+            recon.astype(np.float32) * 255.0, 0, 255
+        ).astype(np.uint8)
     try:
         import cv2
 
