@@ -102,4 +102,7 @@ class TestCLI:
     def test_subcommand_parsers_exist(self):
         from rovr_tpu.cli import COMMANDS
 
-        assert set(COMMANDS) == {"rl", "pretrain", "imitate", "eval", "pipeline", "reconstruct"}
+        assert set(COMMANDS) == {
+            "rl", "pretrain", "imitate", "eval", "pipeline", "reconstruct",
+            "convert",
+        }
