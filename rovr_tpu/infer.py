@@ -89,7 +89,7 @@ def write_frames(recon: np.ndarray, out_dir: str, clip_offset: int = 0) -> int:
         u8 = recon
     else:
         u8 = np.clip(
-            recon.astype(np.float32) * 255.0, 0, 255
+            recon.astype(np.float32) * 255.0 + 0.5, 0, 255
         ).astype(np.uint8)
     try:
         import cv2
@@ -151,15 +151,20 @@ def run(
 
             src = make_source(cfg, b, cfg.run.seed, data_texture,
                               data_texture_vel)
-            for i in range(max(1, num_clips // b)):
+            for i in range(-(-num_clips // b)):  # ceil: cover num_clips
                 corrupted, *_ = src.next(i)
                 yield corrupted[:, :s]
 
     written = 0
     clips = 0
     for recon, actions in reconstruct_clips(cfg, state, mods, batches()):
-        written += write_frames(recon, out_dir, clip_offset=clips)
-        clips += recon.shape[0]
+        # batches are fixed size b (one jit shape); trim the tail so exactly
+        # num_clips clips are written even when b does not divide it
+        take = min(recon.shape[0], num_clips - clips)
+        written += write_frames(recon[:take], out_dir, clip_offset=clips)
+        clips += take
+        if clips >= num_clips:
+            break
     return {
         "clips": clips,
         "frames_written": written,

@@ -76,8 +76,13 @@ class MoEFeedForward(nn.Module):
 
         # --- capacity + dispatch/combine one-hots, all static shapes
         cap = max(1, int(n / e * self.capacity_factor + 0.999))
-        # slot: this token's queue position within its expert (flat order)
-        pos = jnp.cumsum(onehot, axis=0) * onehot - 1.0          # (N, E)
+        # slot: this token's queue position within its expert (flat order).
+        # (cumsum - 1) counts earlier tokens routed to the same expert; the
+        # *onehot zeroes every non-routed column BEFORE the row-sum (a
+        # cumsum*onehot - 1 form would leak -1 from all E-1 unrouted
+        # columns and shift every slot by -(E-1), dropping each expert's
+        # first E-1 tokens — regression-tested in tests/test_ep.py).
+        pos = (jnp.cumsum(onehot, axis=0) - 1.0) * onehot        # (N, E)
         slot = jnp.sum(pos, axis=-1).astype(jnp.int32)           # (N,)
         keep = (slot >= 0) & (slot < cap)
         # (N, E, C): one-hot at (expert, slot) for kept tokens, all-zero for

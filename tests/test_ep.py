@@ -47,6 +47,41 @@ class TestMoEMath:
             np.asarray(y_moe), np.asarray(y_dense), rtol=2e-5, atol=2e-6
         )
 
+    def test_ample_capacity_keeps_every_token(self):
+        """Regression: the dispatch slot formula must count only tokens
+        routed to the SAME expert (a cumsum*onehot - 1 form leaked -1 from
+        the E-1 unrouted columns, silently dropping each expert's first
+        E-1 tokens). With capacity >= tokens, every token's output must
+        match a capacity-free dense re-computation of its routed expert."""
+        x = _x(b=1, l=16, d=32, seed=3)
+        e, d, f = 4, 32, 8
+        moe = MoEFeedForward(hidden_dim=d, num_experts=e,
+                             capacity_factor=float(e), dtype=DT)
+        p = moe.init(jax.random.PRNGKey(0), x)["params"]
+        y = np.asarray(moe.apply({"params": p}, x))[0]          # (16, d)
+
+        # capacity-free reference: route each token, apply its expert's MLP
+        from flax import linen as nn
+
+        ln = nn.LayerNorm(param_dtype=jnp.float32)
+        tok = np.asarray(
+            ln.apply({"params": p["LayerNorm_0"]}, x)
+        )[0]                                                     # (16, d)
+        logits = tok @ np.asarray(p["router"]["kernel"]) + np.asarray(
+            p["router"]["bias"]
+        )
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+        expert = probs.argmax(-1)
+        gate = probs.max(-1)
+        w1, b1 = np.asarray(p["w1"]), np.asarray(p["b1"])
+        w2, b2 = np.asarray(p["w2"]), np.asarray(p["b2"])
+        for i in range(16):
+            ei = expert[i]
+            h = np.asarray(jax.nn.gelu(jnp.asarray(tok[i] @ w1[ei] + b1[ei])))
+            ref = gate[i] * (h @ w2[ei] + b2[ei])
+            assert not np.all(y[i] == 0.0), f"token {i} dropped"
+            np.testing.assert_allclose(y[i], ref, rtol=2e-4, atol=2e-5)
+
     def test_capacity_drops_give_zero_delta(self):
         """Tokens overflowing an expert's capacity contribute exactly 0
         (the residual stream carries them through — Switch semantics)."""

@@ -371,7 +371,8 @@ class TestInference:
             cfg, num_clips=2, out_dir=str(tmp_path / "rec"),
             data_texture=0.5, data_texture_vel=0.0,
         )
-        assert summary["clips"] >= 2 and not summary["restored"]
+        # exactly num_clips clips even when batch_size does not divide it
+        assert summary["clips"] == 2 and not summary["restored"]
         s = cfg.rl.vid_length
         clip0 = tmp_path / "rec" / "00000"
         frames = sorted(clip0.glob("*.png"))
