@@ -24,7 +24,16 @@ enable_cpu_cache()
 
 
 def tiny_model_overrides() -> dict:
-    """ModelConfig overrides that slash XLA compile time for tests: the tiny
-    feature-extractor trunk and a 2-stage LPIPS plan (same math, tiny
-    graphs). Shared by each test file's tiny_config."""
-    return dict(backbone="tiny", lpips_stages=((8, 1), (16, 1)))
+    """ModelConfig overrides that slash XLA compile AND execution time for
+    tests: the tiny feature-extractor trunk, a 2-stage LPIPS plan, and
+    narrow UNet/policy channels (same graphs and math, tiny tensors — this
+    box has one CPU core, so test cost is execution-bound; the production
+    widths live in config.py and the parity tests pin them separately).
+    Shared by each test file's tiny_config."""
+    return dict(
+        backbone="tiny",
+        lpips_stages=((8, 1), (16, 1)),
+        local_net_channels=(8, 16, 32, 64),
+        pn1_channels=(8, 16, 32, 64),
+        pn2_fc_dims=(256, 64),
+    )

@@ -20,13 +20,17 @@ from rovr_tpu.data.dataset import DevicePrefetcher
 
 def tiny_cfg(tmp_path):
     c = Config()
+    # even smaller than the shared overrides: these tests step many times
+    overrides = dict(
+        tiny_model_overrides(),
+        local_net_channels=(4, 8, 16, 32), pn2_fc_dims=(64, 32),
+    )
     return c.replace(
         data=dataclasses.replace(c.data, frame_size=(32, 32), vid_length=4),
         model=dataclasses.replace(
             c.model,
-            **tiny_model_overrides(),
-            local_net_channels=(4, 8, 16, 32),
-            pn2_num_frames=4, pn1_num_frames=4, pn2_fc_dims=(64, 32),
+            **overrides,
+            pn2_num_frames=4, pn1_num_frames=4,
             canvas_size=64, canvas_tile=32, canvas_tiles_per_row=2,
             feature_dim=64, lstm_hidden_dim=32,
         ),

@@ -26,11 +26,10 @@ def tiny_config() -> Config:
         data=dataclasses.replace(c.data, frame_size=(32, 32), vid_length=4),
         model=dataclasses.replace(
             c.model,
-            **tiny_model_overrides(),
-            local_net_channels=(4, 8, 16, 32),
+            **dict(tiny_model_overrides(), local_net_channels=(4, 8, 16, 32),
+                   pn2_fc_dims=(64, 32)),
             pn2_num_frames=4,
             pn1_num_frames=4,
-            pn2_fc_dims=(64, 32),
             canvas_size=64,
             canvas_tile=32,
             canvas_tiles_per_row=2,
