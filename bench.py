@@ -13,9 +13,11 @@ vs_baseline is the ratio against the Torch-CPU twin of the same step
 (benchmarks/torch_baseline.py, cached in benchmarks/torch_cpu_baseline.json).
 The north-star target is >=5x (BASELINE.json).
 
-Env knobs: BENCH_BATCH (clips per step, default 4 — the reference is pinned
-to batch 1, test.py:18; batching clips is a core TPU design win),
-BENCH_STEPS (timed steps, default 3), BENCH_VID_LENGTH (default 20).
+Env knobs: BENCH_BATCH (clips per step, default 8 — the reference is pinned
+to batch 1, test.py:18; batching clips is a core TPU design win: measured
+869 f/s @4, ~990 f/s @8 [MFU 0.46], collapse to 575 @16 when activations
+outgrow HBM and XLA starts rematerializing), BENCH_STEPS (timed steps,
+default 3), BENCH_VID_LENGTH (default 20).
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ import time
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     steps = int(os.environ.get("BENCH_STEPS", "3"))
     vid_length = int(os.environ.get("BENCH_VID_LENGTH", "20"))
 
