@@ -90,9 +90,7 @@ def main() -> None:
         video, org = dev_batches[i % len(dev_batches)]
         return rl.train_step_donated(state, mods, cfg, video, org, key)
 
-    def sync(metrics) -> float:
-        # a real device round-trip: the only sync the tunnel honors
-        return float(jax.device_get(metrics["PPO/actor_loss"]))
+    from rovr_tpu.utils.transfer import tunnel_sync as sync
 
     # warmup / compile, then a true sync so t0 starts from an idle device
     keys = jax.random.split(rng, steps + 1)

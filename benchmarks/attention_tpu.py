@@ -38,25 +38,20 @@ def _jnp_attention(q, k, v):
     return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
 
 
-def _sync(out) -> None:
-    """A real device round-trip. Over the axon tunnel block_until_ready
-    returns at enqueue (see docs/performance.md, tunnel findings), so only
-    fetching a value truly waits for execution; the device serializes the
-    queued programs before it."""
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    jax.device_get(jnp.ravel(leaf)[0])
+def _time(fn, *args, iters: int = 200) -> float:
+    from rovr_tpu.utils.transfer import tunnel_sync
 
-
-def _time(fn, *args, iters: int = 100) -> float:
     out = fn(*args)
-    _sync(out)  # warm up / compile / drain
+    tunnel_sync(out)  # warm up / compile / drain
+    # round-trip floor: fetching from an ALREADY-computed buffer measures
+    # only the sync itself, no execution
     t0 = time.perf_counter()
-    _sync(fn(*args))
-    overhead = time.perf_counter() - t0  # dispatch + round-trip floor
+    tunnel_sync(out)
+    overhead = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    _sync(out)
+    tunnel_sync(out)
     return max(0.0, (time.perf_counter() - t0 - overhead)) / iters
 
 

@@ -84,7 +84,9 @@ class MoEFeedForward(nn.Module):
         # first E-1 tokens — regression-tested in tests/test_ep.py).
         pos = (jnp.cumsum(onehot, axis=0) - 1.0) * onehot        # (N, E)
         slot = jnp.sum(pos, axis=-1).astype(jnp.int32)           # (N,)
-        keep = (slot >= 0) & (slot < cap)
+        # top-1 routing assigns every token to exactly one expert, so
+        # slot >= 0 always; only capacity can drop a token
+        keep = slot < cap
         # (N, E, C): one-hot at (expert, slot) for kept tokens, all-zero for
         # dropped ones (slot pushed to the discarded cap+1-th column)
         dispatch = (

@@ -86,3 +86,20 @@ def chunked_device_get(tree: Any, chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> Any
                 flat[s : s + per] = np.asarray(next(it))
             out.append(flat.reshape(leaf.shape))
     return jax.tree.unflatten(treedef, out)
+
+
+def tunnel_sync(tree: Any) -> None:
+    """Truly wait for `tree`'s computation to finish: fetch ONE scalar.
+
+    Over the axon tunnel `jax.block_until_ready` (and `device_put`) return
+    once the work is ENQUEUED, not once it has executed — per-step
+    block_until_ready timing reads ~3x too fast (docs/performance.md,
+    tunnel findings). A `device_get` round-trip of any output element is
+    the only sync the tunnel honors; the device serializes queued programs,
+    so it also drains everything dispatched before. Shared by bench.py and
+    the benchmarks/ scripts.
+    """
+    import jax.numpy as jnp
+
+    leaf = jax.tree.leaves(tree)[0]
+    jax.device_get(jnp.ravel(leaf)[0])

@@ -370,7 +370,6 @@ class TestInference:
             cfg, num_clips=2, out_dir=str(tmp_path / "rec"),
             data_texture=0.5, data_texture_vel=0.0,
         )
-        # exactly num_clips clips even when batch_size does not divide it
         assert summary["clips"] == 2 and not summary["restored"]
         s = cfg.rl.vid_length
         clip0 = tmp_path / "rec" / "00000"
@@ -380,6 +379,25 @@ class TestInference:
 
         img = cv2.imread(str(frames[0]))
         assert img is not None and img.shape == (32, 32, 3)
+
+    def test_exact_num_clips_with_nondivisible_batch(self, tmp_path):
+        """Regression (rovr_tpu/infer.py run): batches are fixed size b for
+        one jit shape, but exactly num_clips clips must be written — the
+        ceil loop covers num_clips and the tail batch is trimmed."""
+        import dataclasses
+
+        from rovr_tpu import infer
+
+        cfg = tiny_config()
+        cfg = cfg.replace(rl=dataclasses.replace(cfg.rl, batch_size=2))
+        summary = infer.run(
+            cfg, num_clips=3, out_dir=str(tmp_path / "rec"),
+            data_texture=0.5, data_texture_vel=0.0,
+        )
+        assert summary["clips"] == 3
+        assert summary["frames_written"] == 3 * cfg.rl.vid_length
+        dirs = sorted((tmp_path / "rec").glob("0*"))
+        assert [d.name for d in dirs] == ["00000", "00001", "00002"]
 
     def test_png_writer_roundtrip(self, tmp_path):
         import cv2
