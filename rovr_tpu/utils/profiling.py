@@ -34,7 +34,7 @@ def annotate(name: str):
 
 
 class StepTimer:
-    """Wall-clock timing of device steps with block_until_ready sync.
+    """Wall-clock timing of device steps with a TRUE device sync.
 
     Usage:
         timer = StepTimer()
@@ -56,7 +56,11 @@ class StepTimer:
         self.times.append(time.perf_counter() - t0)
 
     def sync(self, tree):
-        jax.block_until_ready(tree)
+        # over the axon tunnel block_until_ready returns at enqueue; only a
+        # device_get round-trip truly waits (docs/performance.md)
+        from rovr_tpu.utils.transfer import tunnel_sync
+
+        tunnel_sync(tree)
 
     @property
     def steady(self) -> List[float]:
