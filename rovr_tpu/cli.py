@@ -264,6 +264,9 @@ def cmd_reconstruct(argv: List[str]) -> int:
     p.add_argument("--context_policy", choices=("canvas", "attention"),
                    default="canvas")
     p.add_argument("--out", type=str, default="reconstructed")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard the clip batch over this many devices "
+                        "(0 = single device); batch_size must divide by it")
     _base_parser(p)
     args = p.parse_args(argv)
     cfg = _apply_base(Config(), args)
@@ -277,10 +280,18 @@ def cmd_reconstruct(argv: List[str]) -> int:
 
     from rovr_tpu import infer
 
+    mesh = None
+    if args.data_parallel > 1:
+        import jax
+
+        from rovr_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(devices=jax.devices()[: args.data_parallel])
+
     summary = infer.run(
         cfg, restore_from=args.restore_from,
         dataset=_dataset(cfg, args, explicit=False),
-        num_clips=args.num_clips, out_dir=args.out,
+        num_clips=args.num_clips, out_dir=args.out, mesh=mesh,
     )
     for k, v in summary.items():
         print(f"{k}: {v}")

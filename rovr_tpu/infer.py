@@ -33,6 +33,7 @@ def reconstruct_clips(
     state,
     mods,
     videos: Iterable[jnp.ndarray],
+    mesh=None,
 ) -> Iterable[Tuple[np.ndarray, np.ndarray]]:
     """Yield (reconstructed uint8, actions) per (B, S, H, W, 3) corrupted
     batch.
@@ -40,6 +41,12 @@ def reconstruct_clips(
     Greedy deterministic rollout: cfg.rl.greedy is forced on (the standard
     policy readout — the stochastic Gumbel path is for training,
     rovr.py:141); the sequential baseline pass is forced off.
+
+    `mesh`: a jax.sharding.Mesh for data-parallel serving — the clip batch
+    shards over the mesh's data axis, parameters replicate, and GSPMD runs
+    the rollout per shard (clips are independent, so no collectives are
+    needed and results match the single-device path exactly). B must
+    divide by the data-axis size.
 
     The reconstruction leaves the device as uint8 pixels: serving output is
     image files, and shipping float32 quadruples D2H bytes — which is THE
@@ -56,8 +63,7 @@ def reconstruct_clips(
         )
     )
 
-    @jax.jit
-    def _run(video):
+    def _run(state, video):
         # uint8 input (a deployment's natural frame format) converts on
         # device — 4x fewer H2D bytes than shipping float32
         if video.dtype == jnp.uint8:
@@ -70,10 +76,23 @@ def reconstruct_clips(
         ).astype(jnp.uint8)
         return recon_u8, out.traj.actions
 
+    if mesh is None:
+        run = jax.jit(_run)
+        put = jnp.asarray
+    else:
+        from rovr_tpu.parallel.mesh import batch_sharded, replicate, replicated
+
+        state = replicate(mesh, state)
+        run = jax.jit(
+            _run, in_shardings=(replicated(mesh), batch_sharded(mesh))
+        )
+        sh = batch_sharded(mesh)
+        put = lambda v: jax.device_put(jnp.asarray(v), sh)  # noqa: E731
+
     from rovr_tpu.utils.transfer import chunked_device_get
 
     for video in videos:
-        recon, actions = _run(jnp.asarray(video))
+        recon, actions = run(state, put(video))
         recon, actions = chunked_device_get((recon, actions))
         yield np.asarray(recon), np.asarray(actions)
 
@@ -116,6 +135,7 @@ def run(
     out_dir: str = "reconstructed",
     data_texture: float = 1.0,
     data_texture_vel: float = 0.0,
+    mesh=None,
 ) -> dict:
     """CLI driver: restore a trained RL state (or random init when no
     checkpoint is given), reconstruct `num_clips` clips, write frames.
@@ -157,7 +177,8 @@ def run(
 
     written = 0
     clips = 0
-    for recon, actions in reconstruct_clips(cfg, state, mods, batches()):
+    for recon, actions in reconstruct_clips(cfg, state, mods, batches(),
+                                            mesh=mesh):
         # batches are fixed size b (one jit shape); trim the tail so exactly
         # num_clips clips are written even when b does not divide it
         take = min(recon.shape[0], num_clips - clips)

@@ -380,6 +380,45 @@ class TestInference:
         img = cv2.imread(str(frames[0]))
         assert img is not None and img.shape == (32, 32, 3)
 
+    def test_mesh_serving_matches_single_device(self):
+        """Data-parallel serving (reconstruct_clips mesh=...): clips shard
+        over the data axis with replicated params; clips are independent so
+        the sharded output must MATCH the single-device reconstruction."""
+        import dataclasses
+
+        import jax
+        import numpy as np
+
+        from rovr_tpu import infer
+        from rovr_tpu.data import synthetic
+        from rovr_tpu.parallel.mesh import make_mesh
+        from rovr_tpu.train import rl
+
+        cfg = tiny_config()
+        cfg = cfg.replace(rl=dataclasses.replace(cfg.rl, batch_size=4))
+        mods = rl.make_modules(cfg)
+        state = rl.init_state(cfg, mods, jax.random.PRNGKey(0))
+        h, w = cfg.data.frame_size
+        s = cfg.rl.vid_length
+        video = np.stack([
+            synthetic.synthetic_batch(j, s, h, w)[0] for j in range(4)
+        ])
+        u8 = np.clip(video * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+        (single, acs_s), = list(
+            infer.reconstruct_clips(cfg, state, mods, [u8])
+        )
+        mesh = make_mesh(devices=jax.devices()[:4])
+        (sharded, acs_m), = list(
+            infer.reconstruct_clips(cfg, state, mods, [u8], mesh=mesh)
+        )
+        np.testing.assert_array_equal(acs_m, acs_s)
+        # identical math, different partitioning: allow 1 LSB of uint8
+        # quantization wobble from reduction-order differences
+        assert int(np.max(np.abs(
+            sharded.astype(np.int16) - single.astype(np.int16)
+        ))) <= 1
+
     def test_exact_num_clips_with_nondivisible_batch(self, tmp_path):
         """Regression (rovr_tpu/infer.py run): batches are fixed size b for
         one jit shape, but exactly num_clips clips must be written — the
