@@ -286,6 +286,14 @@ def cmd_reconstruct(argv: List[str]) -> int:
 
         from rovr_tpu.parallel.mesh import make_mesh
 
+        n = len(jax.devices())
+        if args.data_parallel > n:
+            p.error(f"--data_parallel {args.data_parallel} > {n} devices")
+        if args.batch_size % args.data_parallel:
+            p.error(
+                f"--batch_size {args.batch_size} not divisible by "
+                f"--data_parallel {args.data_parallel}"
+            )
         mesh = make_mesh(devices=jax.devices()[: args.data_parallel])
 
     summary = infer.run(

@@ -45,8 +45,9 @@ def reconstruct_clips(
     `mesh`: a jax.sharding.Mesh for data-parallel serving — the clip batch
     shards over the mesh's data axis, parameters replicate, and GSPMD runs
     the rollout per shard (clips are independent, so no collectives are
-    needed and results match the single-device path exactly). B must
-    divide by the data-axis size.
+    needed; outputs match the single-device path to within 1 uint8 LSB of
+    quantization wobble — parity-tested). B must divide by the data-axis
+    size.
 
     The reconstruction leaves the device as uint8 pixels: serving output is
     image files, and shipping float32 quadruples D2H bytes — which is THE
@@ -77,6 +78,9 @@ def reconstruct_clips(
         return recon_u8, out.traj.actions
 
     if mesh is None:
+        # commit the state once (a restored checkpoint can be host numpy —
+        # without this the serving loop would re-upload the weights per batch)
+        state = jax.device_put(state)
         run = jax.jit(_run)
         put = jnp.asarray
     else:
@@ -87,7 +91,8 @@ def reconstruct_clips(
             _run, in_shardings=(replicated(mesh), batch_sharded(mesh))
         )
         sh = batch_sharded(mesh)
-        put = lambda v: jax.device_put(jnp.asarray(v), sh)  # noqa: E731
+        # device_put shards straight from host — no default-device detour
+        put = lambda v: jax.device_put(v, sh)  # noqa: E731
 
     from rovr_tpu.utils.transfer import chunked_device_get
 

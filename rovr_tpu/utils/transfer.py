@@ -89,17 +89,39 @@ def chunked_device_get(tree: Any, chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> Any
 
 
 def tunnel_sync(tree: Any) -> None:
-    """Truly wait for `tree`'s computation to finish: fetch ONE scalar.
+    """Truly wait for `tree`'s computation to finish.
 
     Over the axon tunnel `jax.block_until_ready` (and `device_put`) return
     once the work is ENQUEUED, not once it has executed — per-step
     block_until_ready timing reads ~3x too fast (docs/performance.md,
-    tunnel findings). A `device_get` round-trip of any output element is
-    the only sync the tunnel honors; the device serializes queued programs,
-    so it also drains everything dispatched before. Shared by bench.py and
-    the benchmarks/ scripts.
+    tunnel findings). A `device_get` round-trip is the only sync the
+    tunnel honors. One tiny reduction per leaf is fetched in a single
+    device_get: a reduction of a SHARDED leaf needs every shard (GSPMD
+    inserts the collective), so this drains every participating device,
+    not just the first leaf's — and the device serializes queued programs,
+    so everything dispatched before is drained too. Shared by bench.py,
+    the benchmarks/ scripts, and StepTimer.
+
+    Cost: one op enqueue per leaf + one round-trip — meant for syncing
+    step OUTPUTS (metrics dicts, a few arrays), not giant param trees.
     """
     import jax.numpy as jnp
 
-    leaf = jax.tree.leaves(tree)[0]
-    jax.device_get(jnp.ravel(leaf)[0])
+    def numeric(l) -> bool:
+        try:  # skips typed PRNG-key arrays and other extended dtypes
+            return jnp.issubdtype(l.dtype, jnp.number) or jnp.issubdtype(
+                l.dtype, jnp.bool_
+            )
+        except Exception:
+            return False
+
+    leaves = [
+        l for l in jax.tree.leaves(tree) if hasattr(l, "dtype") and numeric(l)
+    ]
+    if not leaves:  # nothing fetchable: best-effort drain
+        jax.block_until_ready(tree)
+        return
+    # sum in float32 (the convert fuses into the reduction): bool/uint8
+    # leaves must not overflow, and zero-size leaves reduce to 0.0 instead
+    # of indexing out of bounds
+    jax.device_get([jnp.sum(l.astype(jnp.float32)) for l in leaves])
