@@ -9,6 +9,44 @@ import numpy as np
 import pytest
 
 
+class TestTransfer:
+    def test_chunked_device_get_roundtrip(self):
+        """chunked_device_get must return the exact values for a mixed
+        pytree (big arrays sliced into chunks, small leaves whole)."""
+        from rovr_tpu.utils.transfer import chunked_device_get
+
+        rng = np.random.default_rng(0)
+        tree = {
+            "big": jnp.asarray(rng.standard_normal((64, 1024)).astype(np.float32)),
+            "small": jnp.asarray(np.arange(7, dtype=np.int32)),
+            "u8": jnp.asarray(rng.integers(0, 255, (16, 16, 3), np.uint8)),
+        }
+        out = chunked_device_get(tree, chunk_bytes=16 * 1024)
+        for k in tree:
+            np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(tree[k]))
+
+    def test_tunnel_sync_edge_cases(self):
+        """tunnel_sync must accept everything block_until_ready did: empty
+        trees, zero-size leaves, bool/uint8 leaves (no overflow traps),
+        typed PRNG keys, and sharded arrays (draining every shard)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from rovr_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+        from rovr_tpu.utils.transfer import tunnel_sync
+
+        tunnel_sync({})                           # empty tree
+        tunnel_sync(())                           # empty tuple
+        tunnel_sync(jnp.zeros((0,)))              # zero-size leaf
+        tunnel_sync({"b": jnp.ones((4,), bool),   # bool + uint8, no traps
+                     "u": jnp.full((8,), 255, jnp.uint8)})
+        tunnel_sync(jax.random.key(0))            # typed PRNG key leaf
+        mesh = make_mesh(devices=jax.devices()[:4])
+        x = jax.device_put(
+            jnp.ones((8, 3)), NamedSharding(mesh, P(DATA_AXIS))
+        )
+        tunnel_sync({"sharded": x, "key": jax.random.key(1)})
+
+
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path):
         from flax import struct
