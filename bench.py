@@ -27,10 +27,11 @@ the DevicePrefetcher's job and overlaps compute on any PCIe host (503 MB
 per batch-16 step = ~50 ms at PCIe gen4; this tunnel moves H2D at ~40 MB/s,
 an environment artifact, reported separately in detail.h2d_mb_per_s).
 
-Env knobs: BENCH_BATCH (clips per step, default 16 — the reference is
+Env knobs: BENCH_BATCH (clips per step, default 24 — the reference is
 pinned to batch 1, test.py:18; batching clips is a core TPU design win:
-209 f/s @4, 312 @8, 354 @16; batch >=24 fails to compile, HBM), BENCH_STEPS
-(timed steps, default 4), BENCH_VID_LENGTH (default 20).
+209 f/s @4, 312 @8, 356 @16, 366 @24; batch >= 20 engages the LPIPS
+tap-cache layout knobs that fit it in 16 GB HBM — docs/performance.md),
+BENCH_STEPS (timed steps, default 4), BENCH_VID_LENGTH (default 20).
 """
 
 from __future__ import annotations
@@ -41,7 +42,7 @@ import time
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "24"))
     steps = int(os.environ.get("BENCH_STEPS", "4"))
     vid_length = int(os.environ.get("BENCH_VID_LENGTH", "20"))
 
@@ -60,12 +61,28 @@ def main() -> None:
     import dataclasses
 
     cfg = Config()
+    # LPIPS tap-cache layout (config.py): batch >= 20 does not fit 16 GB HBM
+    # without splitting the org-tap cache (stage 0 recomputed per step) and
+    # chunking the episode-init pass — with them batch 24 is the measured
+    # best single-chip point (366 f/s, 8.9 GB temp vs 356 f/s, 13.8 GB at
+    # batch 16 cache-all). BENCH_LPIPS_CACHE_FROM / BENCH_LPIPS_INIT_CHUNK
+    # override for experiments.
+    big = batch >= 20
+    cache_from = int(os.environ.get("BENCH_LPIPS_CACHE_FROM", "1" if big else "0"))
+    chunk_default = next((c for c in (5, 4, 3, 2) if vid_length % c == 0), 0)
+    chunk = int(os.environ.get(
+        "BENCH_LPIPS_INIT_CHUNK", str(chunk_default) if big else "0"
+    ))
     cfg = cfg.replace(
         rl=dataclasses.replace(
             cfg.rl, vid_length=vid_length, time_steps=vid_length,
             batch_size=batch,
         ),
         data=dataclasses.replace(cfg.data, vid_length=vid_length),
+        model=dataclasses.replace(
+            cfg.model, lpips_cache_from_stage=cache_from,
+            lpips_init_chunk=chunk,
+        ),
     )
 
     rng = jax.random.PRNGKey(0)

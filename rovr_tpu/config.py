@@ -121,6 +121,21 @@ class ModelConfig:
     # LPIPS VGG stage plan ((features, n_convs) per stage); None = real
     # VGG16. Tests shrink it — same tap/normalize/lin math, tiny compile.
     lpips_stages: Optional[Tuple[Tuple[int, int], ...]] = None
+    # RL-rollout LPIPS tap cache split (train/rl.py): org-frame VGG taps of
+    # stages >= this index are cached for the episode; earlier stages are
+    # recomputed per step for the gathered target frames (bit-identical — a
+    # prefix of the same trunk). Stage 0 is ~52% of the cache bytes
+    # (256^2x64 bf16 = 8.4 MB/frame) but only ~5.4 GFLOP/frame to recompute.
+    # 0 = cache every stage (fastest when it fits; measured best through
+    # batch 16 on 16 GB HBM). 1 + lpips_init_chunk unlocks batch >= 24:
+    # 13.8 -> 9.0 GB step footprint for ~1% throughput (docs/performance.md).
+    lpips_cache_from_stage: int = 0
+    # > 0: the episode-init LPIPS baseline (taps of ALL B*S corrupted+org
+    # frames) runs as a lax.map over S in chunks of this many frames,
+    # bounding the init's transient taps to ~2*chunk*B frames instead of
+    # 2*S*B. Requires vid_length % chunk == 0 (falls back to one pass
+    # otherwise). Pair with lpips_cache_from_stage=1 for batch >= 24.
+    lpips_init_chunk: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -43,10 +43,14 @@ class VGG16Features(nn.Module):
     stages: Tuple[Tuple[int, int], ...] = _STAGES
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, limit: int | None = None) -> List[jnp.ndarray]:
+        """`limit` runs only the first `limit` stages (a prefix of the trunk):
+        tap i is identical to the full trunk's tap i — pooling between stages
+        never feeds back into an earlier tap."""
+        stages = self.stages if limit is None else self.stages[:limit]
         taps = []
         x = x.astype(self.dtype)
-        for s, (feats, n_convs) in enumerate(self.stages):
+        for s, (feats, n_convs) in enumerate(stages):
             for c in range(n_convs):
                 x = nn.Conv(
                     feats, (3, 3), padding=1, dtype=self.dtype,
@@ -54,7 +58,7 @@ class VGG16Features(nn.Module):
                 )(x)
                 x = nn.relu(x)
             taps.append(x)
-            if s < len(self.stages) - 1:
+            if s < len(stages) - 1:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return taps
 
@@ -81,13 +85,20 @@ class LPIPS(nn.Module):
             for i, (feats, _) in enumerate(self.stages)
         ]
 
-    def taps(self, x: jnp.ndarray, normalize: bool = True) -> List[jnp.ndarray]:
-        """Unit-normalized VGG feature taps of x (B,H,W,3), each bf16."""
+    def taps(
+        self, x: jnp.ndarray, normalize: bool = True, limit: int | None = None
+    ) -> List[jnp.ndarray]:
+        """Unit-normalized VGG feature taps of x (B,H,W,3), each bf16.
+
+        `limit` computes only the first `limit` stages (bit-identical to the
+        corresponding prefix of the full list) — the RL rollout caches the
+        org-side taps of the deep stages and recomputes the cheap-but-huge
+        early stage(s) per step (train/rl.py, lpips_cache_from_stage)."""
         if normalize:  # [0,1] -> [-1,1] (lpips normalize=True)
             x = 2.0 * x - 1.0
         x = (x - _SHIFT) / _SCALE
         out = []
-        for tap in self.vgg(x):
+        for tap in self.vgg(x, limit=limit):
             t32 = tap.astype(jnp.float32)
             t32 = t32 * jax.lax.rsqrt(jnp.sum(t32 * t32, -1, keepdims=True) + 1e-10)
             out.append(t32.astype(self.dtype))

@@ -365,21 +365,59 @@ def rollout(
     # Initial per-frame LPIPS baseline (rovr.py:84) — and cache the
     # unit-normalized VGG taps of the ORIGINAL frames: they are constant
     # through the episode, and recomputing the org-side trunk inside the scan
-    # was ~20% of the step's FLOPs.
-    flat = video.reshape((b * s,) + video.shape[2:])
-    flat_org = org_video.reshape((b * s,) + org_video.shape[2:])
-    org_taps = mods.lpips.apply(
-        {"params": state.lpips_params}, flat_org, method=LPIPS.taps
-    )
-    video_taps = mods.lpips.apply(
-        {"params": state.lpips_params}, flat, method=LPIPS.taps
-    )
-    curr_loss = mods.lpips.apply(
-        {"params": state.lpips_params}, video_taps, org_taps,
-        method=LPIPS.distance_from_taps,
-    ).reshape(b, s)
-    # (B, S, h, w, c) per tap, gatherable by frame index
-    org_taps = [t.reshape((b, s) + t.shape[1:]) for t in org_taps]
+    # was ~20% of the step's FLOPs. Two HBM levers (both off = old behavior):
+    #   * lpips_cache_from_stage: only stages >= it are cached; the huge
+    #     early-stage taps (stage 0 alone is 8.4 MB/frame bf16 at 256^2) are
+    #     recomputed per step for the B gathered targets — a bit-identical
+    #     trunk prefix at ~1% of the step's FLOPs.
+    #   * lpips_init_chunk: the init taps of all B*S frame pairs run as a
+    #     lax.map over S-chunks, bounding the init's transient taps.
+    # Together they unlock batch 24 on a 16 GB chip (8.9 GB temp vs a
+    # compile failure cache-all) — the measured single-chip throughput
+    # optimum, 366 frames/s (docs/performance.md footprint table).
+    cache_from = cfg.model.lpips_cache_from_stage
+
+    def _init_taps(v_flat, o_flat):
+        """Trunk both sides -> (per-frame LPIPS, org-side taps of the cached
+        stages). Two separate trunk calls, not one concatenated 2N-frame
+        pass: measured 4% faster per step at batch 16 (0.901 vs 0.941 s) and
+        1.4 GB less temp HBM — XLA schedules the smaller convs better."""
+        o_taps = mods.lpips.apply(
+            {"params": state.lpips_params}, o_flat, method=LPIPS.taps
+        )
+        v_taps = mods.lpips.apply(
+            {"params": state.lpips_params}, v_flat, method=LPIPS.taps
+        )
+        d = mods.lpips.apply(
+            {"params": state.lpips_params}, v_taps, o_taps,
+            method=LPIPS.distance_from_taps,
+        )
+        return d, o_taps[cache_from:]
+
+    chunk = cfg.model.lpips_init_chunk
+    if chunk > 0 and chunk < s and s % chunk == 0:
+        n_chunks = s // chunk
+
+        def _split(x):  # (B, S, H, W, 3) -> (n, B*chunk, H, W, 3)
+            x = x.reshape((b, n_chunks, chunk) + x.shape[2:]).swapaxes(0, 1)
+            return x.reshape((n_chunks, b * chunk) + x.shape[3:])
+
+        ds, cached = jax.lax.map(
+            lambda p: _init_taps(p[0], p[1]), (_split(video), _split(org_video))
+        )
+        curr_loss = ds.reshape(n_chunks, b, chunk).swapaxes(0, 1).reshape(b, s)
+        org_taps = [
+            t.reshape((n_chunks, b, chunk) + t.shape[2:])
+            .swapaxes(0, 1).reshape((b, s) + t.shape[2:])
+            for t in cached
+        ]
+    else:
+        flat = video.reshape((b * s,) + video.shape[2:])
+        flat_org = org_video.reshape((b * s,) + org_video.shape[2:])
+        d, cached = _init_taps(flat, flat_org)
+        curr_loss = d.reshape(b, s)
+        # (B, S, h, w, c) per cached tap, gatherable by frame index
+        org_taps = [t.reshape((b, s) + t.shape[1:]) for t in cached]
 
     # Encode the state once (rovr.py:106-107): resize on device, no PIL.
     frames224 = jax.image.resize(
@@ -451,12 +489,23 @@ def rollout(
 
         # Reward: LPIPS of the reconstruction vs the original; the marginal
         # reward is the improvement over the frame's previous loss
-        # (rovr.py:182-205). Org-side taps come from the episode cache.
+        # (rovr.py:182-205). Org-side deep-stage taps come from the episode
+        # cache; the early stages (< lpips_cache_from_stage) are recomputed
+        # for the B gathered targets — same trunk prefix, bit-identical.
         org_tgt = jax.vmap(lambda v, i: v[i])(org_video, tgt)
         y_taps = mods.lpips.apply(
             {"params": state.lpips_params}, y_hat, method=LPIPS.taps
         )
-        org_tgt_taps = [jax.vmap(lambda t, i: t[i])(t_, tgt) for t_ in org_taps]
+        early = (
+            mods.lpips.apply(
+                {"params": state.lpips_params}, org_tgt, method=LPIPS.taps,
+                limit=cache_from,
+            )
+            if cache_from > 0 else []
+        )
+        org_tgt_taps = early + [
+            jax.vmap(lambda t, i: t[i])(t_, tgt) for t_ in org_taps
+        ]
         lpips_now = mods.lpips.apply(
             {"params": state.lpips_params}, y_taps, org_tgt_taps,
             method=LPIPS.distance_from_taps,

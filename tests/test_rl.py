@@ -109,6 +109,35 @@ class TestRollout:
             np.asarray(rewards_to_go(r, 1.0)), [[6.0], [5.0], [3.0]]
         )
 
+    def test_lpips_cache_knobs_equivalent(self, setup):
+        """lpips_cache_from_stage / lpips_init_chunk are HBM-layout levers
+        only: the recomputed early-stage org taps are a bit-identical trunk
+        prefix and the chunked init is the same math per frame, so rewards
+        and episode metrics must not move."""
+        cfg, mods, state, video, org = setup
+        outs = {}
+        # (cache all, one pass) = the original layout; (1, 0) = recompute
+        # stage 0; (1, 2) = + chunked init; (2, 2) = cache nothing.
+        for cache_from, chunk in ((0, 0), (1, 0), (1, 2), (2, 2)):
+            c = cfg.replace(model=dataclasses.replace(
+                cfg.model, lpips_cache_from_stage=cache_from,
+                lpips_init_chunk=chunk,
+            ))
+            outs[(cache_from, chunk)] = rl.rollout(
+                state, mods, c, video, org, jax.random.PRNGKey(7)
+            )
+        base = outs[(0, 0)]
+        for key, out in outs.items():
+            np.testing.assert_allclose(
+                np.asarray(out.traj.rtgs), np.asarray(base.traj.rtgs),
+                rtol=2e-5, atol=2e-5, err_msg=str(key),
+            )
+            np.testing.assert_allclose(
+                float(out.metrics["Episode/lpips_loss"]),
+                float(base.metrics["Episode/lpips_loss"]),
+                rtol=2e-5, err_msg=str(key),
+            )
+
     def test_attention_policy_path(self):
         """Config-5 attention context policy: rollout + PPO end to end."""
         cfg = tiny_config(context_policy="attention")
