@@ -39,11 +39,15 @@ class LocalNetUNet(nn.Module):
             param_dtype=jnp.float32, name=name,
         )
         # The interior levels (conv3: 64^2 x 128, conv4: 32^2 x 256, conv5:
-        # 64^2 x 512 at the flagship 256^2 frames) sit inside the Pallas
-        # fused-conv kernel's measured win/tie envelope (ops/pallas/conv.py
-        # table: 1.03x / compute-bound / 1.02x vs XLA); FusedConv3x3
-        # auto-dispatches there and falls back to the XLA conv everywhere
-        # else (unaligned channels, bandwidth-bound exterior levels, CPU).
+        # 64^2 x 512 at the flagship 256^2 frames) go through FusedConv3x3,
+        # which auto-dispatches to the Pallas fused kernel only inside its
+        # measured win envelope — small batch (<= ~16k output pixels) and
+        # cin <= 256 (ops/pallas/conv.py `supported`) — and to the XLA conv
+        # everywhere else (large batch, cin 512, unaligned channels,
+        # bandwidth-bound exterior levels, CPU). At the batch-24 flagship
+        # point all three fall to XLA: re-measured 2026-08, XLA is 1.3-1.8x
+        # faster there (chained in-jit timing; batch-4 eval/serving shapes
+        # still dispatch to the kernel, where it is ~1.1x).
         # Param names/shapes match nn.Conv, so checkpoints interop.
         fconv = lambda f, name: FusedConv3x3(  # noqa: E731
             f, relu=True, dtype=self.dtype, name=name,

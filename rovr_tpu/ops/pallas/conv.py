@@ -19,14 +19,21 @@ Backward runs through the XLA conv reference via custom_vjp (same pattern as
 ops/pallas/attention.py) — the UNet is gradient-free in the RL rollout, and
 pretrain backward stays on the XLA path.
 
-Measured on 1x v5e (serialized scan over 16 distinct inputs, batch 4,
-bf16; docs/performance.md methodology):
+Measured on 1x v5e (serialized scan over distinct inputs, bf16;
+docs/performance.md methodology). Batch 4:
 
   128x128x64 -> 128 : pallas 17 TF/s   xla 19 TF/s   (0.90x)
    64x64x128 -> 256 : pallas 24 TF/s   xla 23 TF/s   (1.03x)
    64x64x512 -> 256 : pallas 60 TF/s   xla 59 TF/s   (1.02x)
   128x128x256-> 128 : pallas 33 TF/s   xla 49 TF/s   (0.68x)
   256x256x128->  64 : pallas 17 TF/s   xla 27 TF/s   (0.63x)
+
+and batch widens the envelope out from under the kernel (batch 24, the
+flagship training point):
+
+   64x64x128 -> 256 : pallas 59 TF/s   xla  75 TF/s  (0.79x)
+   32x32x256 -> 512 : pallas 68 TF/s   xla  77 TF/s  (0.89x)
+   64x64x512 -> 256 : pallas 76 TF/s   xla 138 TF/s  (0.55x)
 
 These convs are HBM-bandwidth-bound; the nine materialized shift views
 amplify input bytes, so the kernel only wins where compute dominates
@@ -76,8 +83,17 @@ def supported(shape: Tuple[int, ...]) -> bool:
     """
     if len(shape) != 4:
         return False
-    _, h, w, cin = shape
+    b, h, w, cin = shape
     if cin % 128 != 0 or h * w > 64 * 64:
+        return False
+    # Batch widens the envelope out from under the kernel: re-measured with
+    # chained in-jit timing on the v5e (conv3/4/5 of the flagship UNet),
+    # the kernel wins only up to ~16k output pixels and cin <= 256 —
+    # b4@64^2: 531 vs 581 us, b4@32^2: 550 vs 628 — and loses beyond
+    # (b8@64^2: 614 vs 583; b24@64^2x512in: 3039 vs 1676 us, XLA hits
+    # 138 TF/s there). The nine materialized shift views amplify input
+    # traffic 9x, which batch turns from latency filler into the bound.
+    if b * h * w > 16384 or cin > 256:
         return False
     try:
         return jax.devices()[0].platform == "tpu"

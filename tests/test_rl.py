@@ -59,6 +59,21 @@ def setup():
 
 
 class TestRollout:
+    def test_write_frame(self):
+        """_write_frame: per-sample scatter writes exactly the indexed frame
+        and leaves every other frame untouched (incl. duplicate-free batch
+        rows with DIFFERENT indices — the pi1/attention path)."""
+        video = jnp.stack(
+            [jnp.full((5, 4, 4, 3), float(b)) for b in range(3)]
+        )
+        frame = jnp.stack([jnp.full((4, 4, 3), 10.0 + b) for b in range(3)])
+        idx = jnp.array([0, 3, 4])
+        out = np.asarray(rl._write_frame(video, idx, frame))
+        for b in range(3):
+            for s in range(5):
+                want = 10.0 + b if s == int(idx[b]) else float(b)
+                assert (out[b, s] == want).all(), (b, s)
+
     def test_shapes(self, setup):
         cfg, mods, state, video, org = setup
         out = rl.rollout(state, mods, cfg, video, org, jax.random.PRNGKey(2))

@@ -47,6 +47,45 @@ class TestTransfer:
         tunnel_sync({"sharded": x, "key": jax.random.key(1)})
 
 
+class TestTraceAnalysis:
+    def test_analyze_trace(self, tmp_path):
+        """analyze_trace parses a perfetto trace.json.gz: TPU 'XLA Ops'
+        leaf events aggregated by source line, while-wrappers reported
+        separately (not double-counted into the leaf total)."""
+        import gzip
+
+        from rovr_tpu.utils.profiling import analyze_trace, format_trace_report
+
+        with pytest.raises(FileNotFoundError):
+            analyze_trace(str(tmp_path))
+
+        d = tmp_path / "plugins" / "profile" / "2026_01_01"
+        d.mkdir(parents=True)
+        events = [
+            {"ph": "M", "pid": 3, "name": "process_name",
+             "args": {"name": "/device:TPU:0"}},
+            {"ph": "M", "pid": 3, "tid": 7, "name": "thread_name",
+             "args": {"name": "XLA Ops"}},
+            {"ph": "X", "pid": 3, "tid": 7, "name": "while.1",
+             "ts": 0, "dur": 100},
+            {"ph": "X", "pid": 3, "tid": 7, "name": "fusion.5",
+             "ts": 10, "dur": 60, "args": {"source": "a.py:1"}},
+            {"ph": "X", "pid": 3, "tid": 7, "name": "copy.2",
+             "ts": 80, "dur": 40, "args": {}},
+        ]
+        with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+            json.dump({"traceEvents": events}, f)
+
+        r = analyze_trace(str(tmp_path))
+        assert r["total_s"] == pytest.approx(100e-6)  # while excluded
+        assert r["loops"] == [("while.1", pytest.approx(100e-6))]
+        assert r["by_source"][0] == ("a.py:1", pytest.approx(60e-6), 1)
+        assert "<unattributed>" in dict(
+            (s, d_) for s, d_, _ in r["by_source"]
+        )
+        assert "a.py:1" in format_trace_report(r)
+
+
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path):
         from flax import struct
