@@ -70,12 +70,46 @@ def main() -> None:
             done += 1
     dt = (time.time() - t0) / max(1, done)
     frames = batch * vid_length
+
+    # compute-only component: chain greedy rollouts on the carried
+    # reconstruction (true data dependency; uint8 in / uint8 out on device)
+    # and sync ONE scalar — isolates on-device serving compute from the
+    # tunnel transport that dominates sec_per_batch end-to-end and
+    # fluctuates run-to-run (measured 10-21 MB/s D2H on different days).
+    infer_cfg = cfg.replace(
+        rl=dataclasses.replace(cfg.rl, greedy=True, sequential_baseline=False)
+    )
+    state_dev = jax.device_put(state)
+
+    @jax.jit
+    def _chain(v8):
+        v = v8.astype(jnp.float32) / 255.0
+        out = rl.rollout(
+            state_dev, mods, infer_cfg, v, v, jax.random.PRNGKey(0)
+        )
+        r8 = jnp.clip(
+            out.reconstructed * 255.0 + 0.5, 0.0, 255.0
+        ).astype(jnp.uint8)
+        return r8, jnp.sum(out.traj.actions)
+
+    r8 = jnp.asarray(video)
+    r8, s = _chain(r8)
+    jax.device_get(s)  # warm/compile sync
+    t0 = time.time()
+    for _ in range(steps):
+        r8, s = _chain(r8)
+    jax.device_get(s)
+    compute_s = (time.time() - t0) / steps
+
     print(json.dumps({
         "metric": "reconstruct_frames_per_sec",
         "value": round(frames / dt, 3),
         "unit": "frames/sec",
         "detail": {
             "sec_per_batch": round(dt, 4),
+            "rollout_compute_s": round(compute_s, 4),
+            "transport_s": round(dt - compute_s, 4),
+            "compute_bound_frames_per_sec": round(frames / compute_s, 1),
             "batch": batch,
             "vid_length": vid_length,
             "frame": [h, w],

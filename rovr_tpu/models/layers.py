@@ -53,6 +53,89 @@ def max_pool(
     return nn.max_pool(x, window_shape=window, strides=strides, padding="VALID")
 
 
+def _s2d_conv_assembly(block: int = 8) -> "jnp.ndarray":
+    """0/1 assembly tensor T[a,b,di,dj,uv,pq] mapping a 3x3 conv kernel on a
+    1-channel map to its space-to-depth-`block` form.
+
+    Output pixel (block*bi+p, block*bj+q) of the original conv reads input
+    pixel (block*bi+p+a-1, block*bj+q+b-1); in s2d coordinates that is
+    block (bi+di-1, bj+dj-1) at in-block offset (u, v). T records exactly
+    that correspondence, so K'[di,dj,(u,v),((p,q),f)] = sum_ab K[a,b,0,f] *
+    T[a,b,di,dj,uv,pq] turns the lane-starved (C_in=1) conv into ONE dense
+    3x3 conv over block**2-channel tiles. Zero padding commutes: offsets
+    that fall outside the map land in the s2d conv's zero-padded border
+    blocks, matching the original SAME padding.
+    """
+    import numpy as np
+
+    bk = block
+    t = np.zeros((3, 3, 3, 3, bk * bk, bk * bk), np.float32)
+    for a in range(3):
+        for b in range(3):
+            for p in range(bk):
+                for q in range(bk):
+                    y, x = p + a - 1, q + b - 1
+                    di, dj = (y + bk) // bk, (x + bk) // bk
+                    t[a, b, di, dj, (y % bk) * bk + (x % bk), p * bk + q] = 1.0
+    return jnp.asarray(t)
+
+
+class CanvasConv3x3(nn.Module):
+    """3x3 SAME conv on a 1-channel canvas, param-compatible with nn.Conv
+    ("kernel" (3,3,1,F) HWIO + "bias"), with an exact space-to-depth
+    compute path for TPU.
+
+    The π₂ canvas trunk's first stage (conv 1→64 at 160², then BN/relu/
+    maxpool-8) keeps C=1 in the 128-lane minor dim — on-chip profiling
+    attributed ~8% of the whole RL train step to it (docs/performance.md).
+    `packed=True` computes the identical conv as one (H/8, W/8) conv over
+    64-channel s2d tiles (kernel assembled via `_s2d_conv_assembly`) and
+    returns (B, H/8, W/8, 8, 8, F) — the caller runs BN/relu packed and
+    max-pools by reducing the two block axes, which IS the stage's 8×8
+    pool. Same multiset of values through BN, so numerics match the plain
+    path to dtype rounding.
+    """
+
+    features: int
+    block: int = 8
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, packed: bool = False) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        cdt = x.dtype if self.dtype is None else self.dtype
+        x = x.astype(cdt)
+        if not packed:
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(cdt), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(cdt)
+        if cin != 1:
+            raise ValueError("packed path requires a 1-channel input")
+        bk, f = self.block, self.features
+        bsz, h, w = x.shape[:3]
+        hb, wb = h // bk, w // bk
+        xs = x.reshape(bsz, hb, bk, wb, bk).transpose(0, 1, 3, 2, 4)
+        xs = xs.reshape(bsz, hb, wb, bk * bk)
+        kp = jnp.einsum(
+            "abf,abdeup->deupf", kernel[:, :, 0, :], _s2d_conv_assembly(bk)
+        ).reshape(3, 3, bk * bk, bk * bk * f)
+        y = jax.lax.conv_general_dilated(
+            xs, kp.astype(cdt), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y.reshape(bsz, hb, wb, bk, bk, f)
+        return y + bias.astype(cdt)
+
+
 class ConvBlock(nn.Module):
     """conv3x3 -> (optional batch-stat norm) -> relu, NHWC."""
 

@@ -30,7 +30,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rovr_tpu.models.layers import BatchStatNorm, MLP, max_pool, standardize
+from rovr_tpu.models.layers import (
+    BatchStatNorm, CanvasConv3x3, MLP, max_pool, standardize,
+)
 from rovr_tpu.models.policy_net_1 import gumbel_log_softmax
 
 LN2 = 0.69314  # the reference's literal constant (policy_net_2.py:101)
@@ -42,20 +44,40 @@ class PolicyNet2(nn.Module):
     temperature: float = 0.7
     is_critic: bool = False
     dtype: Any = jnp.bfloat16
+    # Stage-1 compute layout. "s2d" computes the 1-channel 160² conv+pool
+    # in space-to-depth-8 form (exact same math, CanvasConv3x3 docstring);
+    # MEASURED NEGATIVE at the flagship point — the assembled kernel's 64x
+    # FLOP amplification outweighs any layout win (batch-24 RL step 1.455
+    # vs 1.230 s/step; XLA already lowers C_in=1 convs onto the MXU well),
+    # so "auto" resolves to the plain layout and "s2d" stays as the
+    # parity-tested escape hatch for future shapes.
+    canvas_impl: str = "auto"   # "auto"(= plain) | "plain" | "s2d"
 
     def setup(self):
         conv = lambda f: nn.Conv(  # noqa: E731
             f, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32
         )
-        self.convs = [conv(64), conv(128), conv(256), conv(512)]
+        self.convs = [
+            CanvasConv3x3(64, dtype=self.dtype), conv(128), conv(256),
+            conv(512),
+        ]
         self.norms = [BatchStatNorm(dtype=self.dtype) for _ in range(4)]
         out = 1 if self.is_critic else self.num_frames
         self.final_fc = MLP(tuple(self.fc_dims) + (out,))
 
+    def _stage1_packed(self) -> bool:
+        return self.canvas_impl == "s2d"
+
     def _video_conv(self, canvas: jnp.ndarray) -> jnp.ndarray:
         """(B,160,160,1) -> (B,1024). Parity: policy_net_2.py:41-60."""
         x = canvas.astype(self.dtype)
-        x = max_pool(nn.relu(self.norms[0](self.convs[0](x))), (8, 8))   # 20x20x64
+        if self._stage1_packed():
+            # (B,20,20,8,8,64): BN stats see the same value multiset as the
+            # plain layout; max over the block axes IS the 8x8/stride-8 pool
+            y = nn.relu(self.norms[0](self.convs[0](x, packed=True)))
+            x = jnp.max(y, axis=(3, 4))                                  # 20x20x64
+        else:
+            x = max_pool(nn.relu(self.norms[0](self.convs[0](x))), (8, 8))  # 20x20x64
         x = max_pool(nn.relu(self.norms[1](self.convs[1](x))), (4, 4))   # 5x5x128
         x = nn.relu(self.norms[2](self.convs[2](x)))                      # 5x5x256 (1x pool)
         x = nn.relu(self.norms[3](self.convs[3](x)))                      # 5x5x512

@@ -89,6 +89,24 @@ class TestPolicyNet2:
         v = critic.apply(cparams, canvas, feat, method=PolicyNet2.value)
         assert v.shape == (4,)
 
+    def test_canvas_s2d_parity(self, rng):
+        """The space-to-depth stage-1 path (canvas_impl='s2d') must be the
+        SAME function as the plain layout: identical params (checkpoint
+        interop) and matching _video_conv outputs in f32."""
+        plain = PolicyNet2(dtype=jnp.float32, canvas_impl="plain")
+        s2d = PolicyNet2(dtype=jnp.float32, canvas_impl="s2d")
+        canvas = jax.random.normal(rng, (3, 160, 160, 1))
+        feat = jnp.zeros((3, 1024))
+        target = jnp.array([0, 1, 2])
+        params = plain.init(rng, canvas, feat, target, rng)
+        assert jax.tree_util.tree_structure(
+            s2d.init(rng, canvas, feat, target, rng)
+        ) == jax.tree_util.tree_structure(params)
+        a = plain.apply(params, canvas, method=PolicyNet2._video_conv)
+        b = s2d.apply(params, canvas, method=PolicyNet2._video_conv)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_video_conv_is_1024(self, rng):
         """SURVEY.md §2.4: 160x160x1 canvas -> 1024-d flatten."""
         model = PolicyNet2(dtype=DT)
