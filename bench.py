@@ -60,16 +60,31 @@ def main() -> None:
 
     import dataclasses
 
+    # BENCH_CONFIG=scaled benches BASELINE config 5 on one chip: 64-frame
+    # clips, the attention context policy (flash kernel at head_dim 64),
+    # 64-step rollout scan. Defaults sized for 16 GB HBM (batch 4 with the
+    # tap-cache knobs). The multi-chip axes of config 5 (DP over the clip
+    # batch) are validated by dryrun_multichip; this measures the per-chip
+    # work that DP replicates.
+    profile = os.environ.get("BENCH_CONFIG", "default")
+    if profile == "scaled":
+        batch = int(os.environ.get("BENCH_BATCH", "4"))
+        vid_length = int(os.environ.get("BENCH_VID_LENGTH", "64"))
+
     cfg = Config()
+    if profile == "scaled":
+        from rovr_tpu.config import config_rl_scaled
+
+        cfg = config_rl_scaled(vid_length=vid_length, data_parallel=1)
     # LPIPS tap-cache layout (config.py): batch >= 20 does not fit 16 GB HBM
     # without splitting the org-tap cache (stage 0 recomputed per step) and
     # chunking the episode-init pass — with them batch 24 is the measured
     # best single-chip point (390 f/s, 8.9 GB temp vs 361 f/s, 13.8 GB at
     # batch 16 cache-all). BENCH_LPIPS_CACHE_FROM / BENCH_LPIPS_INIT_CHUNK
     # override for experiments.
-    big = batch >= 20
+    big = batch * vid_length >= 400  # >= 6.4 GB of org-frame taps cache-all
     cache_from = int(os.environ.get("BENCH_LPIPS_CACHE_FROM", "1" if big else "0"))
-    chunk_default = next((c for c in (5, 4, 3, 2) if vid_length % c == 0), 0)
+    chunk_default = next((c for c in (8, 5, 4, 3, 2) if vid_length % c == 0), 0)
     chunk = int(os.environ.get(
         "BENCH_LPIPS_INIT_CHUNK", str(chunk_default) if big else "0"
     ))
@@ -155,8 +170,10 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)),
         "benchmarks", "torch_cpu_baseline.json",
     )
-    vs = None
-    if os.path.exists(baseline_path):
+    vs = torch_fps = None
+    # the Torch-CPU twin was measured at the DEFAULT config; don't present
+    # a cross-config ratio for the scaled profile
+    if profile == "default" and os.path.exists(baseline_path):
         with open(baseline_path) as f:
             torch_fps = json.load(f)["frames_per_sec"]
         vs = fps / torch_fps
@@ -168,6 +185,7 @@ def main() -> None:
         "vs_baseline": round(vs, 3) if vs is not None else None,
         "detail": {
             "sec_per_step": round(dt, 4),
+            "config": profile,
             "batch": batch,
             "vid_length": vid_length,
             "device": str(jax.devices()[0]).split("(")[0],
