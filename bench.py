@@ -29,7 +29,7 @@ an environment artifact, reported separately in detail.h2d_mb_per_s).
 
 Env knobs: BENCH_BATCH (clips per step, default 24 — the reference is
 pinned to batch 1, test.py:18; batching clips is a core TPU design win:
-277 f/s @4, 361 @16, 390 @24; batch >= 20 engages the LPIPS
+277 f/s @4, 361 @16, 404 @24; batch >= 20 engages the LPIPS
 tap-cache layout knobs that fit it in 16 GB HBM — docs/performance.md),
 BENCH_STEPS (timed steps, default 4), BENCH_VID_LENGTH (default 20).
 """
@@ -79,7 +79,7 @@ def main() -> None:
     # LPIPS tap-cache layout (config.py): batch >= 20 does not fit 16 GB HBM
     # without splitting the org-tap cache (stage 0 recomputed per step) and
     # chunking the episode-init pass — with them batch 24 is the measured
-    # best single-chip point (390 f/s, 8.9 GB temp vs 361 f/s, 13.8 GB at
+    # best single-chip point (404 f/s, 8.9 GB temp vs 361 f/s, 13.8 GB at
     # batch 16 cache-all). BENCH_LPIPS_CACHE_FROM / BENCH_LPIPS_INIT_CHUNK
     # override for experiments.
     big = batch * vid_length >= 400  # >= 6.4 GB of org-frame taps cache-all

@@ -99,6 +99,16 @@ class CanvasConv3x3(nn.Module):
     features: int
     block: int = 8
     dtype: Optional[Dtype] = None
+    # A conv bias feeding a batch-stat norm is mathematically a no-op: the
+    # norm subtracts the per-channel batch mean, so BN(x + b) == BN(x)
+    # exactly (and d/db is exactly zero, so training never moves it
+    # either). On TPU the conv is a custom call that takes no epilogue
+    # fusion, making the += bias a SEPARATE full read+write pass over the
+    # activation — skipping it was measured +3.7% on the whole RL step
+    # (1.231 -> 1.187 s at batch 24, docs/performance.md). The param stays
+    # DECLARED so checkpoints (incl. converted torch ones, whose biases
+    # are nonzero but still cancelled by their BN) keep their structure.
+    fold_bias_into_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, packed: bool = False) -> jnp.ndarray:
@@ -117,7 +127,7 @@ class CanvasConv3x3(nn.Module):
                 x, kernel.astype(cdt), (1, 1), [(1, 1), (1, 1)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
-            return y + bias.astype(cdt)
+            return y if self.fold_bias_into_norm else y + bias.astype(cdt)
         if cin != 1:
             raise ValueError("packed path requires a 1-channel input")
         bk, f = self.block, self.features
@@ -133,7 +143,7 @@ class CanvasConv3x3(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         y = y.reshape(bsz, hb, wb, bk, bk, f)
-        return y + bias.astype(cdt)
+        return y if self.fold_bias_into_norm else y + bias.astype(cdt)
 
 
 class ConvBlock(nn.Module):
