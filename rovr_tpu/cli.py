@@ -185,6 +185,15 @@ def cmd_eval(argv: List[str]) -> int:
                    help="rollouts to average (poster uses 20)")
     p.add_argument("--vid_length", type=int, default=20)
     p.add_argument("--flow_size", type=int, default=256)
+    p.add_argument("--metric_weights", choices=("random", "converted"),
+                   default="random",
+                   help="provenance of VGG-LPIPS/RAFT params: 'converted' "
+                   "after loading real weights via the convert CLI; the "
+                   "no-egress default is 'random'")
+    p.add_argument("--force", action="store_true",
+                   help="print the weight-dependent poster-comparison "
+                   "metrics (flow_recovery_*, lpips_*) even under random "
+                   "metric weights")
     _base_parser(p)
     args = p.parse_args(argv)
     cfg = _apply_base(Config(), args)
@@ -199,10 +208,27 @@ def cmd_eval(argv: List[str]) -> int:
 
     means = evaluate.run(
         cfg, dataset=_dataset(cfg, args), num_videos=args.num_videos,
-        flow_size=args.flow_size,
+        flow_size=args.flow_size, weights=args.metric_weights,
     )
+    # Refuse to print poster-comparison numbers computed with random metric
+    # weights (VGG-LPIPS/RAFT untrained: the values exercise plumbing only
+    # and must not masquerade as the poster's 47.8%/65.4%). The programmatic
+    # API (evaluate.run) still returns every key, self-marked via
+    # Eval/metric_weights_random; this gate is print-level only.
+    withheld = []
+    untrusted = args.metric_weights == "random" and not args.force
     for k, v in sorted(means.items()):
+        if untrusted and ("flow_recovery" in k or "/lpips" in k):
+            withheld.append(k)
+            continue
         print(f"{k}: {v:.4f}")
+    if withheld:
+        print(
+            f"[rovr_tpu.eval] {len(withheld)} weight-dependent metrics "
+            "withheld (random VGG/RAFT weights; not poster-comparable). "
+            "Pass --force to print them, or load real weights and pass "
+            "--metric_weights converted."
+        )
     return 0
 
 

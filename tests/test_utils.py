@@ -183,3 +183,37 @@ class TestCLI:
             "rl", "pretrain", "imitate", "eval", "pipeline", "reconstruct",
             "convert",
         }
+
+    def test_eval_withholds_weight_dependent_metrics(self, capsys,
+                                                     monkeypatch):
+        """Under random metric weights the eval CLI must refuse to print the
+        poster-comparison numbers (flow_recovery_*, lpips_*) unless --force;
+        the programmatic evaluate.run keys are untouched (VERDICT item 10)."""
+        from rovr_tpu import cli
+        from rovr_tpu.train import evaluate
+
+        fake = {
+            "Eval/flow_recovery_agentic": 0.9,
+            "Eval/flow_recovery_sequential": 0.5,
+            "Eval/lpips_agentic": 0.1,
+            "Eval/psnr_agentic": 30.0,
+            "Eval/metric_weights_random": 1.0,
+        }
+        seen = {}
+
+        def fake_run(cfg, **kw):
+            seen.update(kw)
+            return dict(fake)
+
+        monkeypatch.setattr(evaluate, "run", fake_run)
+        assert cli.main(["eval", "--num_videos", "1"]) == 0
+        out = capsys.readouterr().out
+        assert "flow_recovery" not in out.split("withheld")[0]
+        assert "psnr_agentic: 30.0000" in out
+        assert "withheld" in out
+        assert seen.get("weights") == "random"
+
+        assert cli.main(["eval", "--num_videos", "1", "--force"]) == 0
+        out = capsys.readouterr().out
+        assert "Eval/flow_recovery_agentic: 0.9000" in out
+        assert "withheld" not in out
