@@ -168,12 +168,38 @@ class RLConfig:
     gamma: float = 1.0
     actor_lr: float = 2e-4
     critic_lr: float = 2e-4
-    local_net_lr: float = 2e-4
-    lpips_mse_gamma: float = 1.0
-    # Reference computes the optical-flow "spatio" reward but comments out its
-    # addition to rewards (rovr.py:234-237). Keep off by default for parity.
+    # (The reference also declares lpips_mse_gamma=1 and a local_net
+    # optimizer at lr 2e-4, rovr.py:51,60 — but every line that would read
+    # them is commented out (the local-net finetune backward/step,
+    # rovr.py:258-259, and no loss expression even exists). Those constants
+    # are NOT mirrored here: a config field nothing reads is a correctness
+    # trap. The live γ-anneal pretrain loss has its own PretrainConfig.)
+    #
+    # Optical-flow "spatio" signal (rovr.py:234-243): the reference computes
+    # it with RAFT every episode, LOGS it ('Local_Net/spatio_loss'), and
+    # ships its reward addition commented out (`rewards[-1] -= spatio`,
+    # rovr.py:238).
+    #   log_spatio=True       — compute + log Episode/spatio each train step
+    #                           (the reference's shipped behavior). Costs
+    #                           three RAFT sweeps over B·(S-1) frame pairs
+    #                           per step, so the hot train step defaults it
+    #                           off (documented deviation; eval always
+    #                           reports flow recovery, train/evaluate.py).
+    #   use_spatio_reward=True — also ADD spatio_scale·recovery to the final
+    #                           step's reward before rewards-to-go (implies
+    #                           log_spatio). Sign: the reference's commented
+    #                           line SUBTRACTS the bonus, which would punish
+    #                           good flow recovery; the poster's stated
+    #                           intent ("increase distance from corrupted
+    #                           optical flow and decrease distance from
+    #                           original", rovr.py:239 comment) is the
+    #                           addition implemented here (docs/migration.md).
     use_spatio_reward: bool = False
+    log_spatio: bool = False
     spatio_scale: float = 7.5
+    # RAFT input resize for the spatio computation (the reference resizes
+    # frames to 256x256, rovr.py:346).
+    spatio_flow_size: int = 256
     # Condition the inpainting UNet on the EVOLVING reconstruction (gather
     # target/context frames from `recon`) instead of the immutable corrupted
     # video. The reference gathers cache_target_frame and both context frames

@@ -68,6 +68,9 @@ class ROVRModules(NamedTuple):
     lpips: LPIPS
     actor_tx: optax.GradientTransformation
     critic_tx: optax.GradientTransformation
+    # RAFT for the train-time spatio signal (rovr.py:234-243); constructed
+    # only when cfg.rl.log_spatio / use_spatio_reward ask for it.
+    raft: Any = None
 
 
 class ROVRState(struct.PyTreeNode):
@@ -94,6 +97,10 @@ class ROVRState(struct.PyTreeNode):
     vp_params: Any
     local_net_params: Any
     lpips_params: Any
+    # frozen RAFT for the train-time spatio signal; None unless
+    # cfg.rl.log_spatio / use_spatio_reward (the reference's RAFT is always
+    # pretrained-frozen too, rovr.py:341).
+    raft_params: Any = None
 
 
 class Trajectory(struct.PyTreeNode):
@@ -190,7 +197,16 @@ def make_modules(cfg: Config, dtype=None, mesh=None) -> ROVRModules:
         lpips=LPIPS(dtype=dt, **(dict(stages=m.lpips_stages) if m.lpips_stages else {})),
         actor_tx=optax.adam(cfg.rl.actor_lr),
         critic_tx=optax.adam(cfg.rl.critic_lr),
+        raft=_maybe_raft(cfg, dt),
     )
+
+
+def _maybe_raft(cfg: Config, dt):
+    if not (cfg.rl.use_spatio_reward or cfg.rl.log_spatio):
+        return None
+    from rovr_tpu.models.raft import RAFTSmall
+
+    return RAFTSmall(dtype=dt)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -205,6 +221,7 @@ def init_state(
     critic2_params=None,
     actor1_params=None,
     vp_backbone_params=None,
+    raft_params=None,
 ) -> ROVRState:
     """Fresh state; pretrained/warm-started params plug in by argument
     (replaces the reference's hardcoded checkpoint paths, rovr.py:38-42).
@@ -258,6 +275,13 @@ def init_state(
     )["params"]
     ln_p = local_net_params or mods.local_net.init(ks[6], target, context)["params"]
     lp_p = lpips_params or mods.lpips.init(ks[7], target, target)["params"]
+    raft_p = raft_params
+    if mods.raft is not None and raft_p is None:
+        fs = cfg.rl.spatio_flow_size
+        flow_img = jnp.zeros((1, fs, fs, 3))
+        raft_p = mods.raft.init(
+            jax.random.fold_in(rng, 99), flow_img, flow_img
+        )["params"]
     return ROVRState(
         step=jnp.zeros((), jnp.int32),
         actor2_params=a2_p,
@@ -272,6 +296,7 @@ def init_state(
         vp_params=vp_p,
         local_net_params=ln_p,
         lpips_params=lp_p,
+        raft_params=raft_p,
     )
 
 
@@ -566,7 +591,35 @@ def rollout(
     recon = recon.astype(video.dtype)
     exp_video = exp_video.astype(video.dtype)
 
-    rtgs = rewards_to_go(ys["marginal"], rl.gamma)  # (T, B)
+    # Train-time spatio signal (rovr.py:234-243): RAFT flow-recovery of the
+    # reconstruction, logged every episode like the reference; with
+    # use_spatio_reward it is ADDED to the final step's reward before
+    # rewards-to-go (the reference ships this line commented out with the
+    # sign inverted — see RLConfig for the sign rationale).
+    marginal = ys["marginal"]  # (T, B)
+    spatio = None
+    if rl.use_spatio_reward or rl.log_spatio:
+        if mods.raft is None or state.raft_params is None:
+            raise ValueError(
+                "cfg.rl.use_spatio_reward/log_spatio need make_modules built "
+                "with the same cfg (mods.raft) and init_state raft params"
+            )
+        from rovr_tpu.models.raft import pairwise_flows, total_flow_magnitude
+        from rovr_tpu.ops.metrics import spatio_reward as _spatio_reward
+
+        def phi(v):
+            flows = pairwise_flows(
+                mods.raft, state.raft_params, v, size=rl.spatio_flow_size
+            )
+            return total_flow_magnitude(flows)[0]
+
+        spatio = _spatio_reward(
+            phi(recon), phi(org_video), phi(video), rl.spatio_scale
+        )  # (B,)
+        if rl.use_spatio_reward:
+            marginal = marginal.at[-1].add(spatio)
+
+    rtgs = rewards_to_go(marginal, rl.gamma)  # (T, B)
     traj = Trajectory(
         obs=ys["obs"],
         target_idx=ys["target_idx"],
@@ -587,10 +640,12 @@ def rollout(
     metrics = {
         "Episode/lpips_loss": jnp.mean(ys["lpips"]),
         "Episode/mse_loss": jnp.mean(ys["mse"]),
-        "Episode/mean_reward": jnp.mean(ys["marginal"]),
-        "Episode/return": jnp.mean(jnp.sum(ys["marginal"], axis=0)),
+        "Episode/mean_reward": jnp.mean(marginal),
+        "Episode/return": jnp.mean(jnp.sum(marginal, axis=0)),
         "Episode/coverage": jnp.mean(distinct / t_steps),
     }
+    if spatio is not None:
+        metrics["Episode/spatio"] = jnp.mean(spatio)
     return RolloutOut(
         traj=jax.lax.stop_gradient(traj),
         reconstructed=recon,

@@ -171,6 +171,41 @@ class TestRollout:
         for v in metrics.values():
             assert np.isfinite(float(v))
 
+    @pytest.mark.slow
+    def test_spatio_reward_wiring(self):
+        """use_spatio_reward / log_spatio (rovr.py:234-243): RAFT flow
+        recovery is computed per episode and logged (Episode/spatio); with
+        use_spatio_reward it is added to the FINAL step's reward, so under
+        gamma=1 every rewards-to-go entry shifts by exactly the per-sample
+        spatio bonus vs the log-only rollout."""
+        cfg = tiny_config()
+        cfg = cfg.replace(rl=dataclasses.replace(
+            cfg.rl, use_spatio_reward=True, spatio_flow_size=32))
+        mods = rl.make_modules(cfg, dtype=DT)
+        assert mods.raft is not None
+        state = rl.init_state(cfg, mods, jax.random.PRNGKey(0))
+        h, w = cfg.data.frame_size
+        key = jax.random.PRNGKey(13)
+        org = jax.random.uniform(key, (2, 4, h, w, 3))
+        video = jnp.clip(org + 0.1, 0, 1)
+        out = rl.rollout(state, mods, cfg, video, org, key)
+        assert np.isfinite(float(out.metrics["Episode/spatio"]))
+
+        cfg_log = cfg.replace(rl=dataclasses.replace(
+            cfg.rl, use_spatio_reward=False, log_spatio=True))
+        out_log = rl.rollout(state, mods, cfg_log, video, org, key)
+        # same params/key -> same actions/rewards; only the terminal bonus
+        # differs. gamma=1 rtg is a suffix sum, so the shift is constant
+        # over time and equals the spatio bonus per sample.
+        diff = np.asarray(out.traj.rtgs) - np.asarray(out_log.traj.rtgs)
+        np.testing.assert_allclose(diff, np.broadcast_to(diff[:1], diff.shape),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            diff[0].mean(), float(out.metrics["Episode/spatio"]),
+            rtol=1e-4, atol=1e-6,
+        )
+        assert "Episode/spatio" in out_log.metrics
+
     def test_policy1_path(self):
         """Revived π₁+LSTM path traces and returns valid frame indices."""
         cfg = tiny_config(use_policy1=True)
@@ -185,6 +220,7 @@ class TestRollout:
         # π₁ trajectory recorded for the PPO-on-π₁ path
         assert out.traj.obs1 is not None and out.traj.logprobs1 is not None
 
+    @pytest.mark.slow
     def test_policy1_ppo_trains_actor1(self):
         """cfg.rl.ppo_policy1: PPO updates π₁/V₁ from the shared reward
         stream (the MDP the reference declares but ships unreachable —
@@ -247,6 +283,7 @@ class TestPPO:
 
 
 class TestShardedStep:
+    @pytest.mark.slow
     def test_data_parallel_mesh(self, setup):
         """The same step jits over an 8-device CPU mesh with the clip batch
         sharded on `data` (SURVEY.md §2.14 rebuild column)."""
