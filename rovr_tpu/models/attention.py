@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _attend(q, k, v, impl: str = "auto", mesh=None, seq_axis: Optional[str] = None):
+def _attend(q, k, v, impl: str = "auto", mesh=None, seq_axis: Optional[str] = None,
+            initializing: bool = False):
     """Dispatch the inner attention product.
 
     q,k,v: (B, H, L, D).
@@ -32,6 +33,11 @@ def _attend(q, k, v, impl: str = "auto", mesh=None, seq_axis: Optional[str] = No
         (parallel/ring_attention.py) — q/k/v are resharded to
         sequence-sharded at the shard_map boundary, k/v shards rotate over
         ICI via ppermute. Requires mesh + seq_axis; L must divide the axis.
+        Indivisible batch/sequence is an ERROR at apply time (silently
+        running the O(L²) jnp path would change complexity class under a
+        misconfiguration); only the flax init trace (`initializing=True`,
+        batch-1 dummy shapes) may fall through to the identical-math jnp
+        path.
       * anything else: the plain jnp reference path.
     """
     if impl == "ring":
@@ -56,8 +62,16 @@ def _attend(q, k, v, impl: str = "auto", mesh=None, seq_axis: Optional[str] = No
                 mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
             )
             return fn(q, k, v)
-        # indivisible batch/sequence (e.g. the batch-1 flax init trace):
-        # fall through to the jnp path — identical math, no resharding
+        if not initializing:
+            raise ValueError(
+                f"attn_impl='ring': batch {q.shape[0]} must divide the "
+                f"non-sequence mesh axes ({max(n_batch, 1)}) and sequence "
+                f"{q.shape[2]} must divide mesh['{seq_axis}']="
+                f"{mesh.shape[seq_axis]}; refusing to silently fall back "
+                "to the O(L²) jnp path at apply time"
+            )
+        # the batch-1 flax init trace: fall through to the jnp path —
+        # identical math, no resharding
     if impl in ("pallas", "auto"):
         try:
             from rovr_tpu.ops.pallas.attention import flash_attention, supported
@@ -92,7 +106,10 @@ class MultiHeadAttention(nn.Module):
         q = dense("q")(q_in).transpose(0, 2, 1, 3)
         k = dense("k")(kv_in).transpose(0, 2, 1, 3)
         v = dense("v")(kv_in).transpose(0, 2, 1, 3)
-        o = _attend(q, k, v, self.attn_impl, self.mesh, self.seq_axis).transpose(0, 2, 1, 3)
+        o = _attend(
+            q, k, v, self.attn_impl, self.mesh, self.seq_axis,
+            initializing=self.is_initializing(),
+        ).transpose(0, 2, 1, 3)
         return nn.DenseGeneral(
             self.hidden_dim, axis=(-2, -1), dtype=self.dtype,
             param_dtype=jnp.float32, name="out",

