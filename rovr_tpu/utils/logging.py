@@ -45,13 +45,22 @@ class MetricsWriter:
             self.scalar(tag, v, step)
 
     def image(self, tag: str, image, step: int):
-        """image: (H, W, C) float in [0,1]. TensorBoard only (no-op otherwise)."""
-        if self._tb is not None:
-            import numpy as np
+        """image: (H, W, C) float in [0,1]. TensorBoard when available, else a
+        PNG under <log_dir>/images/ — the grids always ship, matching the
+        reference's always-written image grids (train_local_net_unet.py:117-119)."""
+        import numpy as np
 
-            self._tb.add_image(
-                tag, np.asarray(image).transpose(2, 0, 1), step
-            )
+        img = np.asarray(image)
+        if self._tb is not None:
+            self._tb.add_image(tag, img.transpose(2, 0, 1), step)
+            return
+        from rovr_tpu.utils.png import write_png
+
+        img_dir = os.path.join(self.log_dir, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        safe_tag = tag.replace("/", "_")
+        u8 = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        write_png(os.path.join(img_dir, f"{safe_tag}_{step:08d}.png"), u8)
 
     def text(self, tag: str, text: str, step: int):
         self._f.write(
