@@ -185,11 +185,11 @@ def cmd_eval(argv: List[str]) -> int:
                    help="rollouts to average (poster uses 20)")
     p.add_argument("--vid_length", type=int, default=20)
     p.add_argument("--flow_size", type=int, default=256)
-    p.add_argument("--metric_weights", choices=("random", "converted"),
-                   default="random",
-                   help="provenance of VGG-LPIPS/RAFT params: 'converted' "
-                   "after loading real weights via the convert CLI; the "
-                   "no-egress default is 'random'")
+    p.add_argument("--warm_start", type=str, default=None,
+                   help="directory written by `rovr_tpu convert`: its "
+                   "lpips_params/raft_params become the metric nets (the "
+                   "only way the poster-comparison numbers print without "
+                   "--force) and any model trees plug into init_state")
     p.add_argument("--force", action="store_true",
                    help="print the weight-dependent poster-comparison "
                    "metrics (flow_recovery_*, lpips_*) even under random "
@@ -206,17 +206,42 @@ def cmd_eval(argv: List[str]) -> int:
 
     from rovr_tpu.train import evaluate
 
+    # Metric-weight provenance is DERIVED by evaluate.run from what is
+    # actually loaded here — there is no flag to declare it (a declared
+    # 'converted' used to clear the honesty mark on random-weight results).
+    init_params = raft_params = None
+    if args.warm_start:
+        from rovr_tpu.utils import convert
+
+        loaded = convert.load_converted(args.warm_start) or {}
+        raft_params = loaded.pop("raft_params", None)
+        supported = {
+            "local_net_params", "vp_params", "actor2_params", "lpips_params",
+            "critic2_params", "actor1_params", "vp_backbone_params",
+        }
+        init_params = {k: v for k, v in loaded.items() if k in supported}
+        for k in sorted(set(loaded) - supported):
+            print(f"[warm_start] skipping {k} (no init_state kwarg)")
+        print(
+            "[warm_start] plugging in: "
+            + ", ".join(sorted(init_params)
+                        + (["raft_params"] if raft_params is not None else []))
+        )
+
     means = evaluate.run(
         cfg, dataset=_dataset(cfg, args), num_videos=args.num_videos,
-        flow_size=args.flow_size, weights=args.metric_weights,
+        flow_size=args.flow_size, init_params=init_params,
+        raft_params=raft_params,
     )
     # Refuse to print poster-comparison numbers computed with random metric
     # weights (VGG-LPIPS/RAFT untrained: the values exercise plumbing only
     # and must not masquerade as the poster's 47.8%/65.4%). The programmatic
-    # API (evaluate.run) still returns every key, self-marked via
-    # Eval/metric_weights_random; this gate is print-level only.
+    # API (evaluate.run) still returns every key; the gate keys off the
+    # authoritative self-mark run() derived from what it actually loaded.
     withheld = []
-    untrusted = args.metric_weights == "random" and not args.force
+    untrusted = (
+        means.get("Eval/metric_weights_random", 1.0) == 1.0 and not args.force
+    )
     for k, v in sorted(means.items()):
         if untrusted and ("flow_recovery" in k or "/lpips" in k):
             withheld.append(k)
@@ -226,8 +251,8 @@ def cmd_eval(argv: List[str]) -> int:
         print(
             f"[rovr_tpu.eval] {len(withheld)} weight-dependent metrics "
             "withheld (random VGG/RAFT weights; not poster-comparable). "
-            "Pass --force to print them, or load real weights and pass "
-            "--metric_weights converted."
+            "Pass --force to print them, or load real converted weights "
+            "via --warm_start (rovr_tpu convert --kind vgg_lpips/raft)."
         )
     return 0
 

@@ -138,19 +138,29 @@ def run(
     log_cb=None,
     data_texture: float = 0.0,
     data_texture_vel: float = 1.5,
-    weights: str = "random",
+    weights: Optional[str] = None,
+    init_params: Optional[Dict[str, Any]] = None,
+    raft_params=None,
 ) -> Dict[str, float]:
     """Evaluation driver: averages eval_step over `num_videos` rollouts
     (the poster averages over 20 rollouts, BASELINE.md).
 
-    `weights` declares the provenance of the metric networks' parameters:
-    "converted" when real VGG/RAFT weights were loaded, "random" otherwise
-    (the no-egress default). With random weights the RAFT flow-recovery
-    numbers exercise the full metric plumbing but are NOT comparable to the
-    poster's 47.8%/65.4% — the result dict self-marks this
-    (Eval/metric_weights_random) and a warning is printed, so the numbers
-    cannot silently masquerade as poster-parity (README "Known environment
-    limits")."""
+    Metric-weight provenance is DERIVED from what was actually loaded, not
+    declared: the metric nets count as converted only when `raft_params` was
+    passed in AND `init_params` carries `lpips_params` (both produced by
+    `rovr_tpu convert` / utils.convert.load_converted). Anything else is
+    "random" (the no-egress default): the RAFT flow-recovery numbers then
+    exercise the full metric plumbing but are NOT comparable to the poster's
+    47.8%/65.4% — the result dict self-marks this (Eval/metric_weights_random
+    plus the per-net Eval/{lpips,raft}_weights_random) and a warning is
+    printed, so the numbers cannot silently masquerade as poster-parity
+    (README "Known environment limits"). Passing `weights="converted"` when
+    the derivation says random is rejected; `weights` otherwise only
+    asserts the expectation.
+
+    `init_params`: kwargs for rl.init_state when `state` is None — the
+    warm-start path (local_net_params / vp_params / actor2_params /
+    lpips_params / vp_backbone_params, rovr.py:37-42 parity)."""
     import numpy as np
 
     from rovr_tpu.data.dataset import SyntheticExplicitDataset
@@ -162,9 +172,22 @@ def run(
     cfg = cfg or Config()
     rng = jax.random.PRNGKey(cfg.run.seed)
     mods = make_modules(cfg)
+    lpips_random = not (init_params and "lpips_params" in init_params)
+    raft_random = raft_params is None
+    derived = "random" if (lpips_random or raft_random) else "converted"
+    if weights == "converted" and derived != "converted":
+        missing = [n for n, r in (("lpips", lpips_random),
+                                  ("raft", raft_random)) if r]
+        raise ValueError(
+            "weights='converted' claimed but no converted params were "
+            f"actually loaded for: {', '.join(missing)} — pass raft_params "
+            "and init_params['lpips_params'] from utils.convert"
+        )
+    weights = derived
     if state is None:
-        state = rl.init_state(cfg, mods.rovr, rng)
-    raft_params = init_raft_params(mods, rng, size=flow_size)
+        state = rl.init_state(cfg, mods.rovr, rng, **(init_params or {}))
+    if raft_params is None:
+        raft_params = init_raft_params(mods, rng, size=flow_size)
 
     import os
 
@@ -207,6 +230,8 @@ def run(
             log_cb(i, metrics)
     means = {k: v / n_steps for k, v in totals.items()}
     means["Eval/metric_weights_random"] = 1.0 if weights == "random" else 0.0
+    means["Eval/lpips_weights_random"] = 1.0 if lpips_random else 0.0
+    means["Eval/raft_weights_random"] = 1.0 if raft_random else 0.0
     if weights == "random":
         print(
             "[rovr_tpu.eval] WARNING: VGG-LPIPS/RAFT weights are RANDOM "

