@@ -33,14 +33,17 @@ def list_clips(root_folder: str) -> List[str]:
     )
 
 
-def _decode_frame(path: str, out_hw: Tuple[int, int], half: int) -> np.ndarray:
+def _decode_frame(
+    path: str, out_hw: Tuple[int, int], half: int, use_native: bool = True
+) -> np.ndarray:
     """Decode one frame, resize to 1024x512, split, resize half to out_hw.
 
-    Parity: video_ds.py:107-113. Prefers the native C++ decoder.
+    Parity: video_ds.py:107-113. Prefers the native C++ decoder;
+    `use_native=False` (cfg.data.use_native_loader) forces the cv2 path.
     """
     from rovr_tpu.data import native_loader
 
-    if native_loader.available():
+    if use_native and native_loader.available():
         return native_loader.decode_half(path, out_hw, half)
     import cv2
 
@@ -78,7 +81,8 @@ class VideoFolderDataset:
         frames, corrupted, masks = [], [], []
         for i in range(0, cfg.frames_per_clip, 2):
             frame = _decode_frame(
-                os.path.join(folder, names[i]), cfg.frame_size, half
+                os.path.join(folder, names[i]), cfg.frame_size, half,
+                use_native=cfg.use_native_loader,
             )
             c, m = corruption.corrupt_frame(
                 frame,
@@ -130,6 +134,7 @@ class ExplicitVideoDataset:
                 os.path.join(folder, names[assign.frame_order[i // 2]]),
                 cfg.frame_size,
                 half,
+                use_native=cfg.use_native_loader,
             )
             c, m = corruption.corrupt_frame_explicit(
                 frame, assign.frame_masks[i // 2], rng

