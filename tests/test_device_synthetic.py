@@ -1,5 +1,9 @@
 """On-device synthetic explicit data source (data/device_synthetic.py)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-tier only; fast tier: -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -4,6 +4,10 @@ attention context policy, experts sharded over the mesh's model axis.
 The reference has no MoE or any distributed strategy (SURVEY.md §2.14);
 this is the rebuild's EP leg of the parallelism matrix."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-tier only; fast tier: -m 'not slow'
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -141,6 +141,7 @@ class TestPolicyNet1:
         action, _ = actor.apply(params, image, token, rng)
         assert action.shape == (1,)
 
+    @pytest.mark.slow
     def test_valid_frames_masking(self, rng):
         """With the reference's fixed 25-way head (policy_net_1.py:13) but a
         shorter clip, valid_frames restricts both sampling and logprob
@@ -195,6 +196,7 @@ class TestPolicyNet1:
 
 
 class TestResNet:
+    @pytest.mark.slow
     def test_pooled_features(self, rng):
         model = ResNet50(dtype=DT)
         x = jnp.ones((2, 224, 224, 3))

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-tier only; fast tier: -m 'not slow'
+
 from rovr_tpu.models.raft import (
     RAFTSmall,
     correlation_pyramid,

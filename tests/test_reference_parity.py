@@ -33,7 +33,10 @@ import pytest
 torch = pytest.importorskip("torch")
 
 REF = Path("/root/reference/rovr")
-pytestmark = pytest.mark.skipif(not REF.is_dir(), reason="no reference tree")
+pytestmark = [
+    pytest.mark.skipif(not REF.is_dir(), reason="no reference tree"),
+    pytest.mark.slow,  # full-tier only; fast tier: -m 'not slow'
+]
 
 
 def _load_ref(name):

@@ -13,6 +13,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-tier only; fast tier: -m 'not slow'
+
 from conftest import tiny_model_overrides
 from rovr_tpu.config import Config
 from rovr_tpu.data.dataset import DevicePrefetcher

@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-tier only; fast tier: -m 'not slow'
 from jax.sharding import Mesh, PartitionSpec as P
 
 from conftest import tiny_model_overrides

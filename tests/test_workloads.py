@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-tier only; fast tier: -m 'not slow'
+
 from conftest import tiny_model_overrides
 from rovr_tpu.config import Config
 from rovr_tpu.train import imitation, pretrain_local
