@@ -270,6 +270,11 @@ def cmd_pipeline(argv: List[str]) -> int:
                         "pi1 for this many iterations (0 = skip); the "
                         "coverage-learning demo of the MDP the reference "
                         "declares but ships unreachable (rovr.py:282-283)")
+    p.add_argument("--ppo_from_random_iterations", type=int, default=0,
+                   help="Stage 3b: also PPO-train a RANDOM (un-warm-started)"
+                        " pi2 for this many iterations and evaluate it — "
+                        "with eval_warm_start_only this isolates PPO's own "
+                        "contribution (record['ppo_ablation'])")
     p.add_argument("--eval_videos", type=int, default=20)
     p.add_argument("--vid_length", type=int, default=20)
     p.add_argument("--rl_batch", type=int, default=4)
@@ -295,6 +300,7 @@ def cmd_pipeline(argv: List[str]) -> int:
         imitation_steps=args.imitation_steps,
         rl_iterations=args.rl_iterations,
         policy1_iterations=args.policy1_iterations,
+        ppo_from_random_iterations=args.ppo_from_random_iterations,
         eval_videos=args.eval_videos,
         texture=args.texture,
         texture_vel=args.texture_vel,

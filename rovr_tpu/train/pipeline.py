@@ -110,11 +110,28 @@ def run(
     pretrain_clips: int = 32,
     out_path: Optional[str] = None,
     policy1_iterations: int = 0,
+    ppo_from_random_iterations: int = 0,
 ) -> Dict[str, Any]:
     """Run all four stages; return (and optionally write) the full record:
     stage metric curves + held-out eval for the trained policy, a
     random-policy control (same pretrained UNet, untrained actor), and the
     sequential baseline riding along in each.
+
+    The held-out eval ISOLATES PPO's own contribution to π₂ (the poster's
+    "RL-optimized" claim, rovr.py:281-337) with two ablation arms sharing
+    the same eval seeds/clips:
+      * eval_warm_start_only — the Stage-2 imitation state evaluated
+        WITHOUT Stage-3 PPO, so (eval_trained − eval_warm_start_only) is
+        exactly what PPO added on top of the warm start. The warm start
+        typically sits at the analytic policy ceiling (imitation top-2
+        accuracy 1.0 → exposure ≈ ceiling), so this delta ≈ 0 is the
+        expected at-ceiling result, not a PPO failure.
+      * eval_ppo_from_random (`ppo_from_random_iterations > 0`) — Stage 3b
+        runs PPO from a RANDOM π₂ (no imitation; same pretrained UNet /
+        LPIPS / VideoProcessor as the control arm), then evaluates it, so
+        (eval_ppo_from_random − eval_random_policy) is PPO lifting a
+        sub-ceiling start by pure reward signal.
+    `record["ppo_ablation"]` summarizes both deltas.
 
     `policy1_iterations > 0` appends Stage 5: PPO on the frame-selection
     policy π₁ (cfg.rl.ppo_policy1 — the MDP the reference declares but ships
@@ -219,8 +236,42 @@ def run(
           f"mean_reward {rl_curve[0]['Episode/mean_reward']:.4f} -> "
           f"{rl_curve[-1]['Episode/mean_reward']:.4f}")
 
-    # ---- Stage 4: held-out eval — trained policy vs random-policy control,
-    # sequential baseline riding along in both.
+    # ---- Stage 3b (PPO-isolation ablation): PPO from a RANDOM π₂ — same
+    # pretrained UNet/LPIPS/VideoProcessor as the random-policy control, no
+    # imitation. Whatever this arm gains over the control on the held-out
+    # eval is attributable to PPO's reward signal alone (VERDICT r2 #1).
+    rl_state_rnd = None
+    if ppo_from_random_iterations > 0:
+        t2b = time.time()
+        rnd_curve: List[Dict[str, float]] = []
+        warm_rnd = dict(
+            local_net_params=state_p.params,
+            lpips_params=state_p.lpips_params,
+            vp_params=state_i.vp_params,
+        )
+        rl_state_rnd = rl.run(
+            cfg, iterations=ppo_from_random_iterations,
+            log_cb=_collect(rnd_curve), init_params=warm_rnd,
+            data_texture=texture, data_texture_vel=texture_vel,
+        )
+        record["rl_from_random"] = rnd_curve
+
+        def _curve_avg(rows, key, n):
+            vals = [r[key] for r in rows if key in r]
+            vals = vals[-n:] if n > 0 else vals[:-n]
+            return sum(vals) / max(1, len(vals))
+
+        print(
+            f"[pipeline] PPO-from-random done in {time.time() - t2b:.0f}s: "
+            f"exposure {_curve_avg(rnd_curve, 'Episode/exposure', -10):.3f}"
+            f" -> {_curve_avg(rnd_curve, 'Episode/exposure', 10):.3f}; "
+            f"mean_reward {rnd_curve[0]['Episode/mean_reward']:.4f} -> "
+            f"{rnd_curve[-1]['Episode/mean_reward']:.4f}"
+        )
+
+    # ---- Stage 4: held-out eval — trained policy vs random-policy control
+    # vs warm-start-only (no PPO) vs PPO-from-random, all on the SAME eval
+    # seeds/clips; sequential baseline riding along in each.
     t3 = time.time()
     eval_cfg = cfg.replace(
         run=dataclasses.replace(cfg.run, seed=cfg.run.seed + 10_000)
@@ -232,8 +283,20 @@ def run(
         lpips_params=state_p.lpips_params,
         vp_params=state_i.vp_params,
     )
+    # warm-start-only: the exact Stage-2 outputs that seeded Stage-3 PPO,
+    # with the same fresh critic init_state would give Stage 3 (the critic
+    # never acts in eval).
+    warm_only_state = rl.init_state(
+        eval_cfg, mods_eval.rovr, jax.random.PRNGKey(cfg.run.seed + 5),
+        **warm,
+    )
     record["eval_trained"] = evaluate.run(
         eval_cfg, num_videos=eval_videos, state=rl_state,
+        data_texture=texture, data_texture_vel=texture_vel,
+        weights="random",
+    )
+    record["eval_warm_start_only"] = evaluate.run(
+        eval_cfg, num_videos=eval_videos, state=warm_only_state,
         data_texture=texture, data_texture_vel=texture_vel,
         weights="random",
     )
@@ -242,6 +305,41 @@ def run(
         data_texture=texture, data_texture_vel=texture_vel,
         weights="random",
     )
+    if rl_state_rnd is not None:
+        record["eval_ppo_from_random"] = evaluate.run(
+            eval_cfg, num_videos=eval_videos, state=rl_state_rnd,
+            data_texture=texture, data_texture_vel=texture_vel,
+            weights="random",
+        )
+
+    # PPO-isolation summary (VERDICT r2 #1): what PPO added on top of the
+    # warm start (at-ceiling: expected ≈ 0) and what PPO alone lifted from
+    # the random sub-ceiling start.
+    def _delta(a: Dict[str, float], b: Dict[str, float], key: str) -> float:
+        return float(a.get(key, float("nan")) - b.get(key, float("nan")))
+
+    keys = ("Eval/masked_psnr_agentic", "Eval/exposure_agentic",
+            "Eval/psnr_agentic")
+    abl: Dict[str, Any] = {
+        "ppo_on_warm_start": {
+            k: _delta(record["eval_trained"], record["eval_warm_start_only"], k)
+            for k in keys
+        },
+    }
+    if rl_state_rnd is not None:
+        abl["ppo_from_random_vs_random"] = {
+            k: _delta(
+                record["eval_ppo_from_random"], record["eval_random_policy"], k
+            )
+            for k in keys
+        }
+        abl["warm_start_vs_random"] = {
+            k: _delta(
+                record["eval_warm_start_only"], record["eval_random_policy"], k
+            )
+            for k in keys
+        }
+    record["ppo_ablation"] = abl
     # ---- Stage 5 (optional): PPO on the frame-selection policy π₁.
     if policy1_iterations > 0:
         t4 = time.time()
@@ -287,15 +385,21 @@ def run(
 
     record["wall_seconds"] = time.time() - t0
     et, er = record["eval_trained"], record["eval_random_policy"]
+    ew = record["eval_warm_start_only"]
+    ep = record.get("eval_ppo_from_random")
+    mp = "Eval/masked_psnr_agentic"
     print(
         f"[pipeline] eval done in {time.time() - t3:.0f}s:\n"
-        f"  masked PSNR  agentic(trained) {et.get('Eval/masked_psnr_agentic', float('nan')):.3f}"
-        f"  agentic(random) {er.get('Eval/masked_psnr_agentic', float('nan')):.3f}"
+        f"  masked PSNR  warm+PPO {et.get(mp, float('nan')):.3f}"
+        f"  warm-only {ew.get(mp, float('nan')):.3f}"
+        f"  PPO-from-random {ep.get(mp, float('nan')) if ep else float('nan'):.3f}"
+        f"  random-policy {er.get(mp, float('nan')):.3f}"
         f"  sequential {et.get('Eval/masked_psnr_sequential', float('nan')):.3f}"
         f"  corrupted {et.get('Eval/masked_psnr_corrupted', float('nan')):.3f}\n"
         f"  PSNR         agentic(trained) {et['Eval/psnr_agentic']:.3f}"
         f"  sequential {et['Eval/psnr_sequential']:.3f}"
-        f"  corrupted {et['Eval/psnr_corrupted']:.3f}"
+        f"  corrupted {et['Eval/psnr_corrupted']:.3f}\n"
+        f"  ppo_ablation {json.dumps(record['ppo_ablation'])}"
     )
 
     if out_path:
