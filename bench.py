@@ -41,35 +41,12 @@ import os
 import time
 
 
-def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "24"))
-    steps = int(os.environ.get("BENCH_STEPS", "4"))
-    vid_length = int(os.environ.get("BENCH_VID_LENGTH", "20"))
-
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from rovr_tpu.utils.compilation_cache import enable as enable_compile_cache
-
-    enable_compile_cache()
-
-    from rovr_tpu.config import Config
-    from rovr_tpu.data import synthetic
-    from rovr_tpu.train import rl
-
+def build_cfg(profile: str, batch: int, vid_length: int):
+    """The benched config, shared with benchmarks/count_flops.py so the
+    executed-FLOP count lowers EXACTLY the step being timed."""
     import dataclasses
 
-    # BENCH_CONFIG=scaled benches BASELINE config 5 on one chip: 64-frame
-    # clips, the attention context policy (flash kernel at head_dim 64),
-    # 64-step rollout scan. Defaults sized for 16 GB HBM (batch 4 with the
-    # tap-cache knobs). The multi-chip axes of config 5 (DP over the clip
-    # batch) are validated by dryrun_multichip; this measures the per-chip
-    # work that DP replicates.
-    profile = os.environ.get("BENCH_CONFIG", "default")
-    if profile == "scaled":
-        batch = int(os.environ.get("BENCH_BATCH", "4"))
-        vid_length = int(os.environ.get("BENCH_VID_LENGTH", "64"))
+    from rovr_tpu.config import Config
 
     cfg = Config()
     if profile == "scaled":
@@ -88,7 +65,7 @@ def main() -> None:
     chunk = int(os.environ.get(
         "BENCH_LPIPS_INIT_CHUNK", str(chunk_default) if big else "0"
     ))
-    cfg = cfg.replace(
+    return cfg.replace(
         rl=dataclasses.replace(
             cfg.rl, vid_length=vid_length, time_steps=vid_length,
             batch_size=batch,
@@ -99,6 +76,58 @@ def main() -> None:
             lpips_init_chunk=chunk,
         ),
     )
+
+
+def hand_counted_flops(profile: str, batch: int, vid_length: int, timeout: int = 540):
+    """Executed flops per train step, from a CPU-backend subprocess that
+    lowers the SAME step with every scan unrolled (cfg.rl.unroll_scans) so
+    the cost model sees each iteration. Returns None on any failure."""
+    import json as _json
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "count_flops.py"),
+             _json.dumps({"profile": profile, "batch": batch,
+                          "vid_length": vid_length})],
+            capture_output=True, text=True, timeout=timeout,
+        )
+        return float(_json.loads(out.stdout.strip().splitlines()[-1])["flops"])
+    except Exception:
+        return None
+
+
+def main() -> None:
+    batch = int(os.environ.get("BENCH_BATCH", "24"))
+    steps = int(os.environ.get("BENCH_STEPS", "4"))
+    vid_length = int(os.environ.get("BENCH_VID_LENGTH", "20"))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rovr_tpu.utils.compilation_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
+    from rovr_tpu.data import synthetic
+    from rovr_tpu.train import rl
+
+    # BENCH_CONFIG=scaled benches BASELINE config 5 on one chip: 64-frame
+    # clips, the attention context policy (flash kernel at head_dim 64),
+    # 64-step rollout scan. Defaults sized for 16 GB HBM (batch 4 with the
+    # tap-cache knobs). The multi-chip axes of config 5 (DP over the clip
+    # batch) are validated by dryrun_multichip; this measures the per-chip
+    # work that DP replicates.
+    profile = os.environ.get("BENCH_CONFIG", "default")
+    if profile == "scaled":
+        batch = int(os.environ.get("BENCH_BATCH", "4"))
+        vid_length = int(os.environ.get("BENCH_VID_LENGTH", "64"))
+
+    cfg = build_cfg(profile, batch, vid_length)
 
     rng = jax.random.PRNGKey(0)
     mods = rl.make_modules(cfg)
@@ -144,9 +173,20 @@ def main() -> None:
     float(probe(jax.device_put(x)))
     h2d_mb_s = x.nbytes / (time.perf_counter() - t0) / 1e6
 
-    # MFU from XLA's own cost model: flops of the compiled step executable
-    # over achieved step time and the chip's peak bf16 throughput.
-    flops = mfu = None
+    # MFU, two figures (docs/performance.md "MFU as a FLOOR"):
+    #   mfu_floor — XLA's cost model on the compiled step. It counts every
+    #     lax.scan/lax.map body ONCE, so a 20-step rollout + 5-epoch PPO +
+    #     chunked init under-reports executed flops severalfold.
+    #   mfu_hand  — executed flops from lowering the SAME step with every
+    #     scan unrolled (benchmarks/count_flops.py, CPU-backend subprocess);
+    #     this is the honest utilization figure.
+    peak = {
+        # dense peak FLOP/s (bf16) per chip
+        "TPU v4": 275e12, "TPU v5 lite": 197e12, "TPU v5e": 197e12,
+        "TPU v5": 459e12, "TPU v5p": 459e12, "TPU v6e": 918e12,
+        "TPU v6 lite": 918e12,
+    }.get(jax.devices()[0].device_kind)
+    flops = mfu_floor = None
     try:
         video0, org0 = dev_batches[0]
         compiled = rl.train_step.lower(
@@ -155,16 +195,12 @@ def main() -> None:
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = float(ca.get("flops", 0.0)) or None
-        peak = {
-            # dense peak FLOP/s (bf16) per chip
-            "TPU v4": 275e12, "TPU v5 lite": 197e12, "TPU v5e": 197e12,
-            "TPU v5": 459e12, "TPU v5p": 459e12, "TPU v6e": 918e12,
-            "TPU v6 lite": 918e12,
-        }.get(jax.devices()[0].device_kind)
         if flops and peak:
-            mfu = flops / dt / peak
+            mfu_floor = flops / dt / peak
     except Exception:
         pass
+    flops_hand = hand_counted_flops(profile, batch, vid_length)
+    mfu_hand = flops_hand / dt / peak if (flops_hand and peak) else None
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -190,8 +226,10 @@ def main() -> None:
             "vid_length": vid_length,
             "device": str(jax.devices()[0]).split("(")[0],
             "torch_cpu_frames_per_sec": round(torch_fps, 4) if vs else None,
-            "flops_per_step": flops,
-            "mfu": round(mfu, 4) if mfu is not None else None,
+            "flops_per_step_cost_model": flops,
+            "flops_per_step_executed": flops_hand,
+            "mfu_floor": round(mfu_floor, 4) if mfu_floor is not None else None,
+            "mfu_hand": round(mfu_hand, 4) if mfu_hand is not None else None,
             "h2d_mb_per_s": round(h2d_mb_s, 1),
             "sync": "chained-steps + device_get (block_until_ready does "
                     "not sync over the axon tunnel); inputs device-resident",

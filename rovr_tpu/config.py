@@ -218,6 +218,14 @@ class RLConfig:
     # on via eval_greedy — the standard deterministic policy readout.
     greedy: bool = False
     eval_greedy: bool = True
+    # Fully unroll the rollout/PPO scans (and run the chunked episode init
+    # as a Python loop). FLOP-counting affordance for bench.py's mfu_hand:
+    # XLA's cost model counts a lax.scan body ONCE regardless of trip count
+    # (docs/performance.md "MFU as a FLOOR"), so an unrolled lowering is the
+    # only graph whose cost analysis equals the executed flops. Not for
+    # training runs: the unrolled graph compiles far slower and XLA
+    # schedules the rolled scan just as well.
+    unroll_scans: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

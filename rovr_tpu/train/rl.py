@@ -430,9 +430,24 @@ def rollout(
             x = x.reshape((b, n_chunks, chunk) + x.shape[2:]).swapaxes(0, 1)
             return x.reshape((n_chunks, b * chunk) + x.shape[3:])
 
-        ds, cached = jax.lax.map(
-            lambda p: _init_taps(p[0], p[1]), (_split(video), _split(org_video))
-        )
+        if rl.unroll_scans:
+            # Python loop = every chunk visible to the cost model (the
+            # lax.map body is counted once, hiding (n_chunks-1)/n_chunks of
+            # the init flops from MFU — docs/performance.md).
+            parts = [
+                _init_taps(v, o)
+                for v, o in zip(_split(video), _split(org_video))
+            ]
+            ds = jnp.stack([p[0] for p in parts])
+            cached = [
+                jnp.stack([p[1][i] for p in parts])
+                for i in range(len(parts[0][1]))
+            ]
+        else:
+            ds, cached = jax.lax.map(
+                lambda p: _init_taps(p[0], p[1]),
+                (_split(video), _split(org_video)),
+            )
         curr_loss = ds.reshape(n_chunks, b, chunk).swapaxes(0, 1).reshape(b, s)
         org_taps = [
             t.reshape((n_chunks, b, chunk) + t.shape[2:])
@@ -586,7 +601,8 @@ def rollout(
         curr_loss, lstm_carry, token0, rng,
     )
     (recon, exp_video, _, _, _, _, _, _), ys = jax.lax.scan(
-        step, init, jnp.arange(t_steps)
+        step, init, jnp.arange(t_steps),
+        unroll=t_steps if rl.unroll_scans else 1,
     )
     recon = recon.astype(video.dtype)
     exp_video = exp_video.astype(video.dtype)
@@ -704,6 +720,7 @@ def ppo_update(
         (state.actor2_params, state.actor2_opt,
          state.critic2_params, state.critic2_opt),
         keys,
+        unroll=rl.n_updates_per_ppo if rl.unroll_scans else 1,
     )
     state = state.replace(
         step=state.step + 1,
@@ -759,6 +776,7 @@ def ppo_update(
             (state.actor1_params, state.actor1_opt,
              state.critic1_params, state.critic1_opt),
             keys1,
+            unroll=rl.n_updates_per_ppo if rl.unroll_scans else 1,
         )
         state = state.replace(
             actor1_params=a1_p, actor1_opt=a1_opt,
