@@ -76,6 +76,14 @@ class ModelConfig:
     pn2_num_frames: int = 20
     pn2_temperature: float = 0.7
     pn2_fc_dims: Tuple[int, ...] = (1024, 512, 256, 64)
+    # Deterministic-serving norm mode: True computes the policy trunks'
+    # batch-stat norms per SAMPLE (instance-norm-style, same params), so a
+    # clip's context selection — and therefore its reconstruction — is
+    # identical whether served alone or in a batch of 8. False (default) is
+    # the reference's train-mode-forever BatchNorm, whose outputs depend on
+    # the serving batch's composition (documented deviation,
+    # docs/migration.md; layers.BatchStatNorm).
+    per_sample_stats: bool = False
     # VideoProcessor state canvas: re-specified from call-site constraints
     # (SURVEY.md §2.13): single-channel 160x160 canvas of 32x32 tiles, 5 per
     # row (room for 25 frames), plus a 1024-d per-frame feature vector.

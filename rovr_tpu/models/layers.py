@@ -25,20 +25,32 @@ class BatchStatNorm(nn.Module):
     """Normalize by current batch statistics over all axes but the last.
 
     Equivalent to torch BatchNorm2d in train mode (biased variance), NHWC.
+
+    `per_sample=True` excludes the batch axis from the statistics (instance-
+    norm-style, same scale/bias params): a sample's output then no longer
+    depends on its batchmates — the deterministic-serving mode
+    (cfg.model.per_sample_stats; docs/migration.md). Default False is the
+    reference's train-mode-forever semantics, where a clip's reconstruction
+    CAN change with the composition of its serving batch.
     """
 
     epsilon: float = 1e-5
     dtype: Optional[Dtype] = None
+    per_sample: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        axes = tuple(range(x.ndim - 1))
+        if self.per_sample and x.ndim < 3:
+            raise ValueError(
+                "per_sample stats need at least one non-batch reduction axis"
+            )
+        axes = tuple(range(1 if self.per_sample else 0, x.ndim - 1))
         x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=axes)
-        var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+        mean = jnp.mean(x32, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(x32), axis=axes, keepdims=True) - jnp.square(mean)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
         return y.astype(x.dtype if self.dtype is None else self.dtype)
 
@@ -152,6 +164,7 @@ class ConvBlock(nn.Module):
     features: int
     use_norm: bool = True
     dtype: Optional[Dtype] = None
+    per_sample_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -163,7 +176,7 @@ class ConvBlock(nn.Module):
             param_dtype=jnp.float32,
         )(x)
         if self.use_norm:
-            x = BatchStatNorm(dtype=self.dtype)(x)
+            x = BatchStatNorm(dtype=self.dtype, per_sample=self.per_sample_stats)(x)
         return nn.relu(x)
 
 
@@ -176,6 +189,7 @@ class UpConvBlock(nn.Module):
     features: int
     use_norm: bool = True
     dtype: Optional[Dtype] = None
+    per_sample_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -188,7 +202,7 @@ class UpConvBlock(nn.Module):
             param_dtype=jnp.float32,
         )(x)
         if self.use_norm:
-            x = BatchStatNorm(dtype=self.dtype)(x)
+            x = BatchStatNorm(dtype=self.dtype, per_sample=self.per_sample_stats)(x)
         return nn.relu(x)
 
 

@@ -51,16 +51,29 @@ class PolicyNet1(nn.Module):
     # without noise; exact mode uses it in both act() and logprob().
     # False = the reference's noisy form (parity; π₁ is dead code there).
     exact_logprob: bool = False
+    # Per-sample norm statistics (deterministic serving; see PolicyNet2 /
+    # cfg.model.per_sample_stats). False = reference batch stats.
+    per_sample_stats: bool = False
 
     def setup(self):
         c1, c2, c3, c4 = self.channels
-        self.enc = [ConvBlock(c, dtype=self.dtype) for c in (c1, c2, c3, c4)]
-        self.up = [UpConvBlock(c, dtype=self.dtype) for c in (c3, c2, c1)]
-        self.dec = [ConvBlock(c, dtype=self.dtype) for c in (c3, c2, c1)]
+        ps = self.per_sample_stats
+        self.enc = [
+            ConvBlock(c, dtype=self.dtype, per_sample_stats=ps)
+            for c in (c1, c2, c3, c4)
+        ]
+        self.up = [
+            UpConvBlock(c, dtype=self.dtype, per_sample_stats=ps)
+            for c in (c3, c2, c1)
+        ]
+        self.dec = [
+            ConvBlock(c, dtype=self.dtype, per_sample_stats=ps)
+            for c in (c3, c2, c1)
+        ]
         self.head1 = nn.Conv(3, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)
-        self.head1_norm = BatchStatNorm(dtype=self.dtype)
+        self.head1_norm = BatchStatNorm(dtype=self.dtype, per_sample=ps)
         self.head2 = nn.Conv(1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)
-        self.head2_norm = BatchStatNorm(dtype=self.dtype)
+        self.head2_norm = BatchStatNorm(dtype=self.dtype, per_sample=ps)
         self.fc_final = nn.Dense(
             1 if self.is_critic else self.num_frames, param_dtype=jnp.float32
         )

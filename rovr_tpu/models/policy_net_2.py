@@ -52,6 +52,14 @@ class PolicyNet2(nn.Module):
     # so "auto" resolves to the plain layout and "s2d" stays as the
     # parity-tested escape hatch for future shapes.
     canvas_impl: str = "auto"   # "auto"(= plain) | "plain" | "s2d"
+    # Per-sample trunk-norm statistics (deterministic serving): a clip's
+    # context selection no longer depends on its batchmates. Default False =
+    # the reference's train-mode-forever batch stats (cfg.model.
+    # per_sample_stats; docs/migration.md). Same params either way. Note the
+    # critic's axis-0 feature standardization (value(), policy_net_2.py:
+    # 103-108 parity) keeps batch coupling regardless — the critic never
+    # acts in serving.
+    per_sample_stats: bool = False
 
     def setup(self):
         # Every trunk conv feeds a BatchStatNorm, so each bias is
@@ -63,7 +71,10 @@ class PolicyNet2(nn.Module):
             f, dtype=self.dtype, fold_bias_into_norm=True
         )
         self.convs = [conv(64), conv(128), conv(256), conv(512)]
-        self.norms = [BatchStatNorm(dtype=self.dtype) for _ in range(4)]
+        self.norms = [
+            BatchStatNorm(dtype=self.dtype, per_sample=self.per_sample_stats)
+            for _ in range(4)
+        ]
         out = 1 if self.is_critic else self.num_frames
         self.final_fc = MLP(tuple(self.fc_dims) + (out,))
 

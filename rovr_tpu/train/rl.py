@@ -163,6 +163,7 @@ def make_modules(cfg: Config, dtype=None, mesh=None) -> ROVRModules:
         pn2 = dict(
             num_frames=m.pn2_num_frames, fc_dims=m.pn2_fc_dims,
             temperature=m.pn2_temperature, dtype=dt,
+            per_sample_stats=m.per_sample_stats,
         )
         actor2 = PolicyNet2(**pn2)
         critic2 = PolicyNet2(**pn2, is_critic=True)
@@ -177,6 +178,7 @@ def make_modules(cfg: Config, dtype=None, mesh=None) -> ROVRModules:
         # (see PolicyNet1.exact_logprob); the dead-code parity form keeps
         # the reference's Gumbel-noised recompute otherwise.
         exact_logprob=cfg.rl.ppo_policy1,
+        per_sample_stats=m.per_sample_stats,
     )
     return ROVRModules(
         vp=VideoProcessor(
