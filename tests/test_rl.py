@@ -153,6 +153,22 @@ class TestRollout:
                 rtol=2e-5, err_msg=str(key),
             )
 
+    def test_precomputed_episode_init_equivalent(self, setup):
+        """rollout(init=episode_init(...)) is bit-identical to the fused
+        rollout — the factoring behind train_step_pipelined must be a pure
+        staging change, never a numeric one."""
+        cfg, mods, state, video, org = setup
+        key = jax.random.PRNGKey(11)
+        base = rl.rollout(state, mods, cfg, video, org, key)
+        init = rl.episode_init(state, mods, cfg, video, org)
+        piped = rl.rollout(state, mods, cfg, video, org, key, init=init)
+        np.testing.assert_array_equal(
+            np.asarray(base.traj.rtgs), np.asarray(piped.traj.rtgs)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.reconstructed), np.asarray(piped.reconstructed)
+        )
+
     def test_attention_policy_path(self):
         """Config-5 attention context policy: rollout + PPO end to end."""
         cfg = tiny_config(context_policy="attention")
@@ -280,6 +296,44 @@ class TestPPO:
         assert recon.shape == video.shape
         for v in metrics.values():
             assert np.isfinite(float(v))
+
+    def test_pipelined_step_matches_plain(self, setup):
+        """train_step_pipelined(state, init_i, batch_i, batch_{i+1}) produces
+        the same update + metrics as train_step on batch_i, and hands back
+        batch_{i+1}'s episode_init (the double-buffer contract,
+        docs/performance.md "Episode-init overlap")."""
+        cfg, mods, state, video, org = setup
+        key = jax.random.PRNGKey(12)
+        nxt_v = jnp.roll(video, 1, axis=0)
+        nxt_o = jnp.roll(org, 1, axis=0)
+        want_state, want_metrics, want_recon = rl.train_step(
+            state, mods, cfg, video, org, key
+        )
+        want_next = rl.episode_init(state, mods, cfg, nxt_v, nxt_o)
+        init = rl.episode_init(state, mods, cfg, video, org)
+        # args 0/3 are donated — hand the step private copies so the
+        # module-scoped fixture state survives on donation-honoring backends
+        state_in, init_in = jax.tree.map(jnp.array, (state, init))
+        got_state, got_metrics, got_recon, got_next = rl.train_step_pipelined(
+            state_in, mods, cfg, init_in, video, org, nxt_v, nxt_o, key
+        )
+        np.testing.assert_array_equal(
+            np.asarray(want_recon), np.asarray(got_recon)
+        )
+        for k, v in want_metrics.items():
+            np.testing.assert_allclose(
+                float(v), float(got_metrics[k]), rtol=1e-5, err_msg=k
+            )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            ),
+            want_state.actor2_params, got_state.actor2_params,
+        )
+        np.testing.assert_allclose(
+            np.asarray(want_next.curr_loss), np.asarray(got_next.curr_loss),
+            rtol=1e-6,
+        )
 
 
 class TestShardedStep:
