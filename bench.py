@@ -69,6 +69,7 @@ def build_cfg(profile: str, batch: int, vid_length: int):
         rl=dataclasses.replace(
             cfg.rl, vid_length=vid_length, time_steps=vid_length,
             batch_size=batch,
+            scan_unroll=int(os.environ.get("BENCH_SCAN_UNROLL", "1")),
         ),
         data=dataclasses.replace(cfg.data, vid_length=vid_length),
         model=dataclasses.replace(

@@ -11,11 +11,12 @@ Usage: python benchmarks/profile_tpu.py [batch] [logdir]
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -30,19 +31,15 @@ def main() -> None:
 
     enable_compile_cache()
 
-    from rovr_tpu.config import Config
+    import bench
     from rovr_tpu.data import synthetic
     from rovr_tpu.train import rl
     from rovr_tpu.utils import profiling
     from rovr_tpu.utils.transfer import tunnel_sync as sync
 
-    cfg = Config()
-    cfg = cfg.replace(
-        rl=dataclasses.replace(
-            cfg.rl, vid_length=20, time_steps=20, batch_size=batch
-        ),
-        data=dataclasses.replace(cfg.data, vid_length=20),
-    )
+    # bench.build_cfg so the profiled step matches bench.py exactly —
+    # including the batch>=20 tap-cache knobs without which batch 24 OOMs.
+    cfg = bench.build_cfg("default", batch, 20)
     rng = jax.random.PRNGKey(0)
     mods = rl.make_modules(cfg)
     state = rl.init_state(cfg, mods, rng)

@@ -234,6 +234,16 @@ class RLConfig:
     # training runs: the unrolled graph compiles far slower and XLA
     # schedules the rolled scan just as well.
     unroll_scans: bool = False
+    # Partial unroll factor for the rollout/PPO lax.scans (lax.scan's
+    # `unroll=`): >1 replicates the body that many times per loop iteration,
+    # trading compile time for less loop overhead and cross-iteration
+    # fusion opportunities. Measured on the v5e at the bench point
+    # (docs/performance.md): within noise of 1 — the scan bodies are big
+    # compute-bound graphs, so loop overhead is already negligible. Kept as
+    # a knob because the tradeoff is shape-dependent (tiny-body scans on
+    # other configs may differ). Must divide time_steps/n_updates_per_ppo;
+    # ignored when unroll_scans fully unrolls.
+    scan_unroll: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

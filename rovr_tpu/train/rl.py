@@ -649,7 +649,7 @@ def rollout(
     )
     (recon, exp_video, _, _, _, _, _, _), ys = jax.lax.scan(
         step, init, jnp.arange(t_steps),
-        unroll=t_steps if rl.unroll_scans else 1,
+        unroll=t_steps if rl.unroll_scans else rl.scan_unroll,
     )
     recon = recon.astype(video.dtype)
     exp_video = exp_video.astype(video.dtype)
@@ -767,7 +767,7 @@ def ppo_update(
         (state.actor2_params, state.actor2_opt,
          state.critic2_params, state.critic2_opt),
         keys,
-        unroll=rl.n_updates_per_ppo if rl.unroll_scans else 1,
+        unroll=rl.n_updates_per_ppo if rl.unroll_scans else rl.scan_unroll,
     )
     state = state.replace(
         step=state.step + 1,
@@ -823,7 +823,7 @@ def ppo_update(
             (state.actor1_params, state.actor1_opt,
              state.critic1_params, state.critic1_opt),
             keys1,
-            unroll=rl.n_updates_per_ppo if rl.unroll_scans else 1,
+            unroll=rl.n_updates_per_ppo if rl.unroll_scans else rl.scan_unroll,
         )
         state = state.replace(
             actor1_params=a1_p, actor1_opt=a1_opt,
