@@ -59,10 +59,42 @@ def max_pool(
     x: jnp.ndarray,
     window: Tuple[int, int],
     strides: Optional[Tuple[int, int]] = None,
+    padding: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,
 ) -> jnp.ndarray:
-    """NHWC max pool, VALID padding (torch MaxPool2d default semantics)."""
+    """NHWC max pool; VALID over the (optionally -inf-padded) input —
+    `padding=((1,1),(1,1))` matches torch MaxPool2d(padding=1) semantics.
+
+    Non-overlapping pools (strides == window, every trainable pool in this
+    codebase) are computed as reshape-to-blocks + `jnp.max` over the block
+    axes instead of `lax.reduce_window`: forward values are identical
+    (same max over the same window), but the BACKWARD lowers to masked
+    elementwise adds instead of XLA's `select-and-scatter`, which on TPU
+    is a slow serialized op — the trace showed 54 ms/step of
+    select-and-scatter in the PPO pool backwards at the bench point
+    (docs/performance.md). NOTE strided-slice `jnp.maximum` chains were
+    also tried and are far WORSE (stride-2 slices materialize as copies:
+    2.46 s/step vs 1.19 baseline) — don't resurrect that variant.
+    Gradient tie-breaking differs from torch/reduce_window at EXACT ties
+    (e.g. post-relu zeros): `jnp.max`'s VJP splits the cotangent evenly
+    across tied positions instead of crediting one winner. Subgradients
+    are equally valid either way; forward parity is unaffected.
+    Overlapping pools (the frozen ResNet stem's 3x3/s2, and 2x2/s(2,1))
+    keep `reduce_window` — their forwards fuse well and the stem takes no
+    gradient.
+    """
     strides = strides or window
-    return nn.max_pool(x, window_shape=window, strides=strides, padding="VALID")
+    if strides == tuple(window):
+        wh, ww = window
+        b, h, w, c = x.shape
+        oh, ow = (h - wh) // wh + 1, (w - ww) // ww + 1
+        if padding is None or not any(p for hw in padding for p in hw):
+            y = x[:, : oh * wh, : ow * ww, :]  # VALID trim (contiguous slice)
+            y = y.reshape(b, oh, wh, ow, ww, c)
+            return jnp.max(y, axis=(2, 4))
+    return nn.max_pool(
+        x, window_shape=window, strides=strides,
+        padding="VALID" if padding is None else padding,
+    )
 
 
 def _s2d_conv_assembly(block: int = 8) -> "jnp.ndarray":

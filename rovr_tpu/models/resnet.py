@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from rovr_tpu.models.layers import max_pool
+
 STAGE_SIZES = (3, 4, 6, 3)  # resnet50
 
 
@@ -111,7 +113,7 @@ class ResNet50(nn.Module):
             dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
         )(x)
         x = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn1")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         features = 64
         for stage, num_blocks in enumerate(STAGE_SIZES):
             for block in range(num_blocks):

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from rovr_tpu.models.layers import max_pool
+
 # lpips.ScalingLayer constants
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
@@ -59,7 +61,7 @@ class VGG16Features(nn.Module):
                 x = nn.relu(x)
             taps.append(x)
             if s < len(stages) - 1:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = max_pool(x, (2, 2))
         return taps
 
 
