@@ -31,7 +31,14 @@ Env knobs: BENCH_BATCH (clips per step, default 24 — the reference is
 pinned to batch 1, test.py:18; batching clips is a core TPU design win:
 277 f/s @4, 361 @16, 404 @24; batch >= 20 engages the LPIPS
 tap-cache layout knobs that fit it in 16 GB HBM — docs/performance.md),
-BENCH_STEPS (timed steps, default 4), BENCH_VID_LENGTH (default 20).
+BENCH_STEPS (timed steps per repeat, default 10), BENCH_REPEATS (timing
+repeats, default 3 — the headline value is the MEDIAN repeat and the JSON
+detail reports every repeat's sec/step so a noisy tunnel round-trip is
+visible as spread instead of silently biasing the number),
+BENCH_VID_LENGTH (default 20), BENCH_SCAN_UNROLL (rollout/PPO lax.scan
+unroll factor, default 1 — measured neutral at the bench point; echoed in
+the JSON detail so runs are comparable), BENCH_LPIPS_CACHE_FROM /
+BENCH_LPIPS_INIT_CHUNK (LPIPS tap-cache layout, see build_cfg).
 """
 
 from __future__ import annotations
@@ -103,7 +110,8 @@ def hand_counted_flops(profile: str, batch: int, vid_length: int, timeout: int =
 
 def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "24"))
-    steps = int(os.environ.get("BENCH_STEPS", "4"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     vid_length = int(os.environ.get("BENCH_VID_LENGTH", "20"))
 
     import jax
@@ -154,16 +162,22 @@ def main() -> None:
 
     from rovr_tpu.utils.transfer import tunnel_sync as sync
 
-    # warmup / compile, then a true sync so t0 starts from an idle device
-    keys = jax.random.split(rng, steps + 1)
+    # warmup / compile, then a true sync so each repeat's t0 starts from an
+    # idle device; the headline is the MEDIAN repeat (robust to a single
+    # slow tunnel round-trip), with every repeat reported in the detail
+    keys = jax.random.split(rng, repeats * steps + 1)
     state, metrics, _ = one_step(state, 0, keys[0])
     sync(metrics)
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics, _ = one_step(state, i + 1, keys[i + 1])
-    sync(metrics)
-    dt = (time.perf_counter() - t0) / steps
+    dts = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            k = 1 + r * steps + i
+            state, metrics, _ = one_step(state, k, keys[k])
+        sync(metrics)
+        dts.append((time.perf_counter() - t0) / steps)
+    dt = sorted(dts)[len(dts) // 2]
     fps = batch * vid_length / dt
 
     # tunnel/host H2D bandwidth, forced-complete via a dependent reduction
@@ -222,6 +236,9 @@ def main() -> None:
         "vs_baseline": round(vs, 3) if vs is not None else None,
         "detail": {
             "sec_per_step": round(dt, 4),
+            "sec_per_step_repeats": [round(d, 4) for d in dts],
+            "steps_per_repeat": steps,
+            "scan_unroll": int(os.environ.get("BENCH_SCAN_UNROLL", "1")),
             "config": profile,
             "batch": batch,
             "vid_length": vid_length,

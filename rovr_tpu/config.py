@@ -38,6 +38,12 @@ class DataConfig:
     num_workers: int = 8
     prefetch_depth: int = 2
     use_native_loader: bool = True  # C++ decode/corrupt path when available
+    # Stage clips to the device as uint8 [0,255] instead of float32 [0,1]:
+    # 4x less H2D traffic per step; the /255 normalization runs on device
+    # inside the jitted train step (rl._train_step), numerically identical.
+    # Measured in benchmarks/sustained_bench.py. Default False keeps the
+    # reference's float tensors (video_ds.py:135) at the API boundary.
+    stage_uint8: bool = False
     # Synthetic explicit masks: cell-aligned overlap-free boxes instead of
     # the reference's 100x50 jittered boxes (which overlap across DIFFERENT
     # raster locations, making teacher-pair exposure only ~85% pixel-true
@@ -241,8 +247,9 @@ class RLConfig:
     # (docs/performance.md): within noise of 1 — the scan bodies are big
     # compute-bound graphs, so loop overhead is already negligible. Kept as
     # a knob because the tradeoff is shape-dependent (tiny-body scans on
-    # other configs may differ). Must divide time_steps/n_updates_per_ppo;
-    # ignored when unroll_scans fully unrolls.
+    # other configs may differ). Need not divide time_steps /
+    # n_updates_per_ppo — lax.scan peels the remainder iterations
+    # (verified). Ignored when unroll_scans fully unrolls.
     scan_unroll: int = 1
 
 

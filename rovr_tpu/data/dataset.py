@@ -96,6 +96,13 @@ class VideoFolderDataset:
             frames.append(frame)
             corrupted.append(c)
             masks.append(m)
+        if cfg.stage_uint8:
+            # ship uint8; the train step normalizes on device (config.py)
+            return (
+                np.asarray(corrupted, dtype=np.uint8),
+                np.asarray(frames, dtype=np.uint8),
+                np.asarray(masks, dtype=np.float32),
+            )
         f = np.float32(1.0 / 255.0)
         return (
             np.asarray(corrupted, dtype=np.float32) * f,

@@ -12,6 +12,7 @@ This sidesteps BatchNorm-mutable-state-under-scan entirely (SURVEY.md §7
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -19,6 +20,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+# Default lowering for non-overlapping max pools (see max_pool docstring
+# for the measurement history). ROVR_MAXPOOL_FAST=1 opts into the
+# reshape+jnp.max path globally; default is lax.reduce_window, the measured
+# winner at the flagship bench point.
+_DEFAULT_POOL_IMPL = (
+    "reshape" if os.environ.get("ROVR_MAXPOOL_FAST", "0") == "1"
+    else "reduce_window"
+)
 
 
 class BatchStatNorm(nn.Module):
@@ -60,30 +70,41 @@ def max_pool(
     window: Tuple[int, int],
     strides: Optional[Tuple[int, int]] = None,
     padding: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """NHWC max pool; VALID over the (optionally -inf-padded) input —
     `padding=((1,1),(1,1))` matches torch MaxPool2d(padding=1) semantics.
 
-    Non-overlapping pools (strides == window, every trainable pool in this
-    codebase) are computed as reshape-to-blocks + `jnp.max` over the block
-    axes instead of `lax.reduce_window`: forward values are identical
-    (same max over the same window), but the BACKWARD lowers to masked
-    elementwise adds instead of XLA's `select-and-scatter`, which on TPU
-    is a slow serialized op — the trace showed 54 ms/step of
-    select-and-scatter in the PPO pool backwards at the bench point
-    (docs/performance.md). NOTE strided-slice `jnp.maximum` chains were
-    also tried and are far WORSE (stride-2 slices materialize as copies:
-    2.46 s/step vs 1.19 baseline) — don't resurrect that variant.
-    Gradient tie-breaking differs from torch/reduce_window at EXACT ties
-    (e.g. post-relu zeros): `jnp.max`'s VJP splits the cotangent evenly
-    across tied positions instead of crediting one winner. Subgradients
-    are equally valid either way; forward parity is unaffected.
+    `impl` picks the lowering for non-overlapping pools (strides == window):
+      * "reduce_window" (the default): `lax.reduce_window`, whose backward
+        is XLA's select-and-scatter. Gradient routes each cotangent to a
+        single winning input, like torch.
+      * "reshape": reshape-to-blocks + `jnp.max` over the block axes.
+        Forward identical; backward lowers to masked elementwise adds and
+        at EXACT ties (e.g. post-relu zeros) splits the cotangent evenly
+        across tied positions instead of crediting one winner — both are
+        valid subgradients (pinned by tests/test_layers.py).
+      * None: _DEFAULT_POOL_IMPL (env ROVR_MAXPOOL_FAST=1 opts into
+        "reshape" globally).
+
+    Measurement history (flagship RL step, batch 24, TPU v5e over the axon
+    tunnel): a per-op trace attributed ~54 ms/step to select-and-scatter in
+    the PPO pool backwards, motivating the reshape path (r3, commit
+    8ddb721) — but the whole-step A/B shows reshape LOSES ~120 ms/step net
+    (1.301 s/step reshape vs 1.182 reduce_window, BENCH_STEPS=8; it was the
+    r3 404->368 frames/s driver-bench regression): the reshape backward's
+    broadcast-compare-mask adds cost more than the select-and-scatter they
+    replace once XLA fuses them into the surrounding graph. Hence
+    reduce_window is the default and reshape stays as an opt-in escape
+    hatch for future shapes. NOTE strided-slice `jnp.maximum` chains were
+    also tried and are far worse still (stride-2 slices materialize as
+    copies: 2.46 s/step) — don't resurrect that variant.
+
     Overlapping pools (the frozen ResNet stem's 3x3/s2, and 2x2/s(2,1))
-    keep `reduce_window` — their forwards fuse well and the stem takes no
-    gradient.
+    always use reduce_window.
     """
     strides = strides or window
-    if strides == tuple(window):
+    if (impl or _DEFAULT_POOL_IMPL) == "reshape" and strides == tuple(window):
         wh, ww = window
         b, h, w, c = x.shape
         oh, ow = (h - wh) // wh + 1, (w - ww) // ww + 1

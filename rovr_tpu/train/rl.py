@@ -851,7 +851,19 @@ def _train_step(
     them when the caller drops them. `masks` (B,S,H,W,C), when given, adds
     the Episode/exposure diagnostic (ops/metrics.context_exposure) — the
     readout that makes PPO's context-selection learning visible.
+
+    `video`/`org_video` may be uint8 [0,255]: the /255 normalization then
+    runs ON DEVICE (fused into the first consumer by XLA), so the host
+    stages 4x fewer bytes per step than the reference's float32 tensors
+    (video_ds.py:135) — the staging-bandwidth half of the sustained-
+    throughput story (benchmarks/sustained_bench.py). Values are identical
+    to normalizing on host: uint8 -> float32 is exact, as is the float32
+    multiply by the same 1/255 constant the datasets use.
     """
+    if video.dtype == jnp.uint8:
+        video = video.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    if org_video.dtype == jnp.uint8:
+        org_video = org_video.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     k_roll, k_ppo = jax.random.split(rng)
     out = rollout(state, mods, cfg, video, org_video, k_roll)
     state, ppo_metrics = ppo_update(state, mods, cfg, out.traj, k_ppo)
@@ -1051,12 +1063,15 @@ def run(
                 writer.scalars({k: float(v) for k, v in metrics.items()}, i)
                 # corrupted | reconstructed | original strip of frame 0
                 # (the reference's per-episode image grid, rovr.py:211-213)
+                v0, o0 = np.asarray(video[0, 0]), np.asarray(org[0, 0])
+                if v0.dtype == np.uint8:  # cfg.data.stage_uint8 staging
+                    v0 = v0.astype(np.float32) / 255.0
+                    o0 = o0.astype(np.float32) / 255.0
                 writer.image(
                     "Episode/corrupted_recon_original",
-                    np.concatenate([
-                        np.asarray(video[0, 0]), np.asarray(recon[0, 0]),
-                        np.asarray(org[0, 0]),
-                    ], axis=1).clip(0.0, 1.0),
+                    np.concatenate(
+                        [v0, np.asarray(recon[0, 0]), o0], axis=1
+                    ).clip(0.0, 1.0),
                     i,
                 )
                 if log_cb:

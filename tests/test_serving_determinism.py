@@ -66,6 +66,65 @@ class TestPolicyNet2PerSampleStats:
             np.asarray(alone_b[0]), np.asarray(batched_b[0]), atol=1e-5
         ), "batch-stat mode unexpectedly batch-invariant"
 
+    def test_critic_stays_batch_coupled_by_design(self):
+        """The determinism contract's explicit boundary: PolicyNet2.value's
+        axis-0 feature standardization keeps reference parity
+        (policy_net_2.py:103-108) and therefore stays batch-coupled EVEN
+        with per_sample_stats=True — documented at policy_net_2.py (value
+        docstring); acceptable because serving never calls the critic
+        (infer.reconstruct_clips uses actors only). If this assertion ever
+        fails, the critic was silently decoupled — update the docs and the
+        PPO parity story together."""
+        k = jax.random.PRNGKey(5)
+        k1, k2, k3 = jax.random.split(k, 3)
+        canvas0 = jax.random.uniform(k1, (1, 160, 160, 1), DT)
+        feat0 = jax.random.normal(k2, (1, 1024), DT)
+        canvas8 = _stack_with_strangers(canvas0, 8, k3)
+        feat8 = _stack_with_strangers(feat0, 8, jax.random.fold_in(k3, 1))
+
+        model = PolicyNet2(dtype=DT, per_sample_stats=True, is_critic=True)
+        rng = jax.random.PRNGKey(0)
+        params = model.init(rng, canvas8, feat8, method=PolicyNet2.value)
+        alone = model.apply(params, canvas0, feat0, method=PolicyNet2.value)
+        batched = model.apply(params, canvas8, feat8, method=PolicyNet2.value)
+        assert not np.allclose(
+            np.asarray(alone[0]), np.asarray(batched[0]), atol=1e-5
+        ), "critic became batch-invariant; the documented boundary moved"
+
+
+class TestAttentionPolicyBatchInvariance:
+    def test_logits_batch_invariant_without_flag(self):
+        """The attention context policy is LayerNorm-only (per-token stats)
+        so it is batch-invariant WITHOUT per_sample_stats — the other half
+        of the determinism contract (docs/migration.md). float32 so the
+        comparison is exact-math, not bf16-rounding-limited."""
+        from rovr_tpu.models.policy_attention import AttentionContextPolicy
+
+        k = jax.random.PRNGKey(7)
+        k1, k2 = jax.random.split(k)
+        feats0 = jax.random.normal(k1, (1, 6, 64), DT)
+        feats8 = _stack_with_strangers(feats0, 8, k2)
+        tgt0 = jnp.zeros((1,), jnp.int32)
+        tgt8 = jnp.zeros((8,), jnp.int32)
+
+        model = AttentionContextPolicy(
+            num_frames=6, feature_dim=64, hidden_dim=32, num_heads=2,
+            depth=2, dtype=DT,
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), feats0, tgt0,
+            method=AttentionContextPolicy.masked_logits,
+        )
+        alone = model.apply(
+            params, feats0, tgt0, method=AttentionContextPolicy.masked_logits
+        )
+        batched = model.apply(
+            params, feats8, tgt8, method=AttentionContextPolicy.masked_logits
+        )
+        np.testing.assert_allclose(
+            np.asarray(alone[0]), np.asarray(batched[0]), atol=1e-5
+        )
+
 
 class TestServingBatchInvariance:
     @pytest.mark.slow
