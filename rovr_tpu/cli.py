@@ -284,6 +284,11 @@ def cmd_pipeline(argv: List[str]) -> int:
                         "textured, the pipeline.run default)")
     p.add_argument("--texture_vel", type=float, default=0.0,
                    help="texture drift px/frame (0 = static, exact copy)")
+    p.add_argument("--log_spatio", action="store_true",
+                   help="compute + log the RAFT flow-recovery 'spatio' "
+                        "signal every RL train step (the reference computes "
+                        "it every episode, rovr.py:234-243; logged only, "
+                        "not added to rewards — see cfg.rl.use_spatio_reward)")
     p.add_argument("--out", type=str, default=None,
                    help="write the full metric record (JSON) here")
     _base_parser(p)
@@ -304,6 +309,7 @@ def cmd_pipeline(argv: List[str]) -> int:
         eval_videos=args.eval_videos,
         texture=args.texture,
         texture_vel=args.texture_vel,
+        log_spatio=args.log_spatio,
         out_path=args.out,
     )
     return 0

@@ -111,6 +111,7 @@ def run(
     out_path: Optional[str] = None,
     policy1_iterations: int = 0,
     ppo_from_random_iterations: int = 0,
+    log_spatio: bool = False,
 ) -> Dict[str, Any]:
     """Run all four stages; return (and optionally write) the full record:
     stage metric curves + held-out eval for the trained policy, a
@@ -226,8 +227,25 @@ def run(
         vp_params=state_i.vp_params,
         actor2_params=state_i.pn2_params,
     )
+    # log_spatio scopes the RAFT flow-recovery signal to THIS stage only
+    # (the flagship PPO run — the reference logs it every episode,
+    # rovr.py:234-243). The 12-iteration RAFT on every train step is the
+    # single most expensive metric in the pipeline, so the ablation arms
+    # (3b, policy1) keep the base cfg; spatio_flow_size matches the demo's
+    # native frame size rather than the reference's hardcoded 256
+    # (rovr.py:346) — at frame 160 resizing UP to 256 would quadruple the
+    # flow cost to measure the same signal.
+    cfg_rl = cfg
+    if log_spatio:
+        cfg_rl = cfg.replace(rl=dataclasses.replace(
+            cfg.rl, log_spatio=True,
+            spatio_flow_size=min(cfg.rl.spatio_flow_size,
+                                 cfg.data.frame_size[0]),
+        ))
+        record["config"]["log_spatio"] = True
+        record["config"]["spatio_flow_size"] = cfg_rl.rl.spatio_flow_size
     rl_state = rl.run(
-        cfg, iterations=rl_iterations, log_cb=_collect(rl_curve),
+        cfg_rl, iterations=rl_iterations, log_cb=_collect(rl_curve),
         init_params=warm, data_texture=texture,
         data_texture_vel=texture_vel,
     )
