@@ -263,7 +263,13 @@ def cmd_pipeline(argv: List[str]) -> int:
     rovr.py:37-42, as one driver with parameters threaded by argument)."""
     p = argparse.ArgumentParser("rovr_tpu pipeline")
     p.add_argument("--pretrain_steps", type=int, default=2000)
-    p.add_argument("--imitation_steps", type=int, default=1500)
+    p.add_argument("--imitation_steps", type=int, default=600,
+                   help="teacher accuracy saturates at ~step 400 at the "
+                        "default scale; training far past saturation makes "
+                        "the warm start MEMORIZE its clips — its greedy "
+                        "held-out readout then falls below the random-"
+                        "policy control (measured: results/"
+                        "probe_imit1500_r4.json vs probe_repro_r4.json)")
     p.add_argument("--rl_iterations", type=int, default=300)
     p.add_argument("--policy1_iterations", type=int, default=0,
                    help="Stage 5: also PPO-train the frame-selection policy "
