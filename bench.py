@@ -39,6 +39,13 @@ BENCH_VID_LENGTH (default 20), BENCH_SCAN_UNROLL (rollout/PPO lax.scan
 unroll factor, default 1 — measured neutral at the bench point; echoed in
 the JSON detail so runs are comparable), BENCH_LPIPS_CACHE_FROM /
 BENCH_LPIPS_INIT_CHUNK (LPIPS tap-cache layout, see build_cfg).
+
+The default run ALSO measures the BASELINE config-5 "scaled" profile
+(64-frame clips + attention policy + flash kernel) and reports it as
+detail.scaled, so the driver's BENCH_r*.json pins the north-star long-clip
+number alongside the reference-shaped default (VERDICT r4 #2). Knobs:
+BENCH_SCALED=0 skips it; BENCH_SCALED_BATCH/_VID_LENGTH/_STEPS/_REPEATS
+size it (defaults 4/64/6/3).
 """
 
 from __future__ import annotations
@@ -108,33 +115,16 @@ def hand_counted_flops(profile: str, batch: int, vid_length: int, timeout: int =
         return None
 
 
-def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "24"))
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-    vid_length = int(os.environ.get("BENCH_VID_LENGTH", "20"))
-
+def measure(profile: str, batch: int, vid_length: int, steps: int,
+            repeats: int, count_flops: bool = True) -> dict:
+    """Time one profile's train step and return its detail dict."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from rovr_tpu.utils.compilation_cache import enable as enable_compile_cache
-
-    enable_compile_cache()
-
     from rovr_tpu.data import synthetic
     from rovr_tpu.train import rl
-
-    # BENCH_CONFIG=scaled benches BASELINE config 5 on one chip: 64-frame
-    # clips, the attention context policy (flash kernel at head_dim 64),
-    # 64-step rollout scan. Defaults sized for 16 GB HBM (batch 4 with the
-    # tap-cache knobs). The multi-chip axes of config 5 (DP over the clip
-    # batch) are validated by dryrun_multichip; this measures the per-chip
-    # work that DP replicates.
-    profile = os.environ.get("BENCH_CONFIG", "default")
-    if profile == "scaled":
-        batch = int(os.environ.get("BENCH_BATCH", "4"))
-        vid_length = int(os.environ.get("BENCH_VID_LENGTH", "64"))
+    from rovr_tpu.utils.transfer import tunnel_sync as sync
 
     cfg = build_cfg(profile, batch, vid_length)
 
@@ -160,8 +150,6 @@ def main() -> None:
         video, org = dev_batches[i % len(dev_batches)]
         return rl.train_step_donated(state, mods, cfg, video, org, key)
 
-    from rovr_tpu.utils.transfer import tunnel_sync as sync
-
     # warmup / compile, then a true sync so each repeat's t0 starts from an
     # idle device; the headline is the MEDIAN repeat (robust to a single
     # slow tunnel round-trip), with every repeat reported in the detail
@@ -179,14 +167,6 @@ def main() -> None:
         dts.append((time.perf_counter() - t0) / steps)
     dt = sorted(dts)[len(dts) // 2]
     fps = batch * vid_length / dt
-
-    # tunnel/host H2D bandwidth, forced-complete via a dependent reduction
-    x = np.zeros((64, 1024, 1024), np.float32)  # 256 MB
-    probe = jax.jit(lambda a: jnp.sum(a))
-    float(probe(jax.device_put(x)))  # warm the path
-    t0 = time.perf_counter()
-    float(probe(jax.device_put(x)))
-    h2d_mb_s = x.nbytes / (time.perf_counter() - t0) / 1e6
 
     # MFU, two figures (docs/performance.md "MFU as a FLOOR"):
     #   mfu_floor — XLA's cost model on the compiled step. It counts every
@@ -214,8 +194,77 @@ def main() -> None:
             mfu_floor = flops / dt / peak
     except Exception:
         pass
-    flops_hand = hand_counted_flops(profile, batch, vid_length)
+    flops_hand = hand_counted_flops(profile, batch, vid_length) \
+        if count_flops else None
     mfu_hand = flops_hand / dt / peak if (flops_hand and peak) else None
+
+    return {
+        "frames_per_sec": round(fps, 3),
+        "sec_per_step": round(dt, 4),
+        "sec_per_step_repeats": [round(d, 4) for d in dts],
+        "steps_per_repeat": steps,
+        "scan_unroll": int(os.environ.get("BENCH_SCAN_UNROLL", "1")),
+        "config": profile,
+        "batch": batch,
+        "vid_length": vid_length,
+        "flops_per_step_cost_model": flops,
+        "flops_per_step_executed": flops_hand,
+        "mfu_floor": round(mfu_floor, 4) if mfu_floor is not None else None,
+        "mfu_hand": round(mfu_hand, 4) if mfu_hand is not None else None,
+    }
+
+
+def main() -> None:
+    batch = int(os.environ.get("BENCH_BATCH", "24"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    vid_length = int(os.environ.get("BENCH_VID_LENGTH", "20"))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rovr_tpu.utils.compilation_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
+    # BENCH_CONFIG=scaled benches ONLY BASELINE config 5 on one chip:
+    # 64-frame clips, the attention context policy (flash kernel at
+    # head_dim 64), 64-step rollout scan, sized for 16 GB HBM (batch 4 with
+    # the tap-cache knobs). The DEFAULT run measures the reference-shaped
+    # profile AND appends the scaled profile as detail.scaled (fewer
+    # steps/repeats — it exists so the driver's BENCH artifact pins the
+    # north-star long-clip number each round; BENCH_SCALED=0 skips it).
+    # The multi-chip axes of config 5 (DP over the clip batch) are
+    # validated by dryrun_multichip; this measures the per-chip work DP
+    # replicates.
+    profile = os.environ.get("BENCH_CONFIG", "default")
+    if profile == "scaled":
+        batch = int(os.environ.get("BENCH_BATCH", "4"))
+        vid_length = int(os.environ.get("BENCH_VID_LENGTH", "64"))
+
+    d = measure(profile, batch, vid_length, steps, repeats)
+
+    scaled = None
+    if profile == "default" and os.environ.get("BENCH_SCALED", "1") != "0":
+        try:
+            scaled = measure(
+                "scaled",
+                int(os.environ.get("BENCH_SCALED_BATCH", "4")),
+                int(os.environ.get("BENCH_SCALED_VID_LENGTH", "64")),
+                int(os.environ.get("BENCH_SCALED_STEPS", "6")),
+                int(os.environ.get("BENCH_SCALED_REPEATS", "3")),
+            )
+        except Exception as e:  # never let the scaled add-on kill the line
+            scaled = {"error": f"{type(e).__name__}: {e}"}
+
+    # tunnel/host H2D bandwidth, forced-complete via a dependent reduction
+    x = np.zeros((64, 1024, 1024), np.float32)  # 256 MB
+    probe = jax.jit(lambda a: jnp.sum(a))
+    float(probe(jax.device_put(x)))  # warm the path
+    t0 = time.perf_counter()
+    float(probe(jax.device_put(x)))
+    h2d_mb_s = x.nbytes / (time.perf_counter() - t0) / 1e6
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -227,31 +276,25 @@ def main() -> None:
     if profile == "default" and os.path.exists(baseline_path):
         with open(baseline_path) as f:
             torch_fps = json.load(f)["frames_per_sec"]
-        vs = fps / torch_fps
+        vs = d["frames_per_sec"] / torch_fps
 
+    detail = dict(d)
+    fps = detail.pop("frames_per_sec")
+    detail.update({
+        "device": str(jax.devices()[0]).split("(")[0],
+        "torch_cpu_frames_per_sec": round(torch_fps, 4) if vs else None,
+        "h2d_mb_per_s": round(h2d_mb_s, 1),
+        "sync": "chained-steps + device_get (block_until_ready does "
+                "not sync over the axon tunnel); inputs device-resident",
+    })
+    if scaled is not None:
+        detail["scaled"] = scaled
     print(json.dumps({
         "metric": "rl_train_frames_per_sec",
-        "value": round(fps, 3),
+        "value": fps,
         "unit": "frames/sec",
         "vs_baseline": round(vs, 3) if vs is not None else None,
-        "detail": {
-            "sec_per_step": round(dt, 4),
-            "sec_per_step_repeats": [round(d, 4) for d in dts],
-            "steps_per_repeat": steps,
-            "scan_unroll": int(os.environ.get("BENCH_SCAN_UNROLL", "1")),
-            "config": profile,
-            "batch": batch,
-            "vid_length": vid_length,
-            "device": str(jax.devices()[0]).split("(")[0],
-            "torch_cpu_frames_per_sec": round(torch_fps, 4) if vs else None,
-            "flops_per_step_cost_model": flops,
-            "flops_per_step_executed": flops_hand,
-            "mfu_floor": round(mfu_floor, 4) if mfu_floor is not None else None,
-            "mfu_hand": round(mfu_hand, 4) if mfu_hand is not None else None,
-            "h2d_mb_per_s": round(h2d_mb_s, 1),
-            "sync": "chained-steps + device_get (block_until_ready does "
-                    "not sync over the axon tunnel); inputs device-resident",
-        },
+        "detail": detail,
     }))
 
 

@@ -81,7 +81,11 @@ def build_tree(root: str, folders: int, frames: int = 50,
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=8)
+    # >= 16 steady-state steps: the r4 8-step sample swung 5.1-20.3 s
+    # per step (tunnel H2D jitter), too coarse for a load-bearing number
+    # (VERDICT r4 #7); the headline is now the MEDIAN step with the full
+    # spread reported.
+    p.add_argument("--steps", type=int, default=16)
     p.add_argument("--batch", type=int, default=24)
     p.add_argument("--vid_length", type=int, default=20)
     p.add_argument("--folders", type=int, default=24)
@@ -192,7 +196,12 @@ def main() -> None:
     sync(metrics)
     pf.close()
     sustained_s = (time.perf_counter() - t_start) / max(1, args.steps - 1)
-    sustained_fps = b * s / sustained_s
+    # steady-state per-step distribution (step 0 carries residual compile
+    # and pipeline warmup; excluded). Median is the headline: robust to the
+    # tunnel's run-to-run H2D swings that dominated the r4 8-step sample.
+    steady = sorted(step_times[1:]) or step_times
+    sustained_s_median = steady[len(steady) // 2]
+    sustained_fps = b * s / sustained_s_median
 
     # what a non-tunnel, multi-core host would sustain: staging at PCIe
     # gen4 (~16 GB/s) and decode spread over the reference's 32 workers
@@ -205,10 +214,14 @@ def main() -> None:
         "value": round(sustained_fps, 3),
         "unit": "frames/sec",
         "detail": {
-            "sec_per_step_sustained": round(sustained_s, 4),
+            "sec_per_step_sustained_median": round(sustained_s_median, 4),
+            "sec_per_step_sustained_mean": round(sustained_s, 4),
+            "sec_per_step_spread": [
+                round(steady[0], 3), round(steady[-1], 3)
+            ],
             "sec_per_step_compute_device_resident": round(compute_s, 4),
             "sec_per_step_steady_state_overhead": round(
-                sustained_s - compute_s, 4
+                sustained_s_median - compute_s, 4
             ),
             "step_times": [round(t, 3) for t in step_times],
             "decode_sec_per_item_1core": round(decode_s_per_item, 4),

@@ -282,6 +282,13 @@ def cmd_pipeline(argv: List[str]) -> int:
                         "with eval_warm_start_only this isolates PPO's own "
                         "contribution (record['ppo_ablation'])")
     p.add_argument("--eval_videos", type=int, default=20)
+    p.add_argument("--eval_ci_clips", type=int, default=100,
+                   help="Stage 4b: variance-proofed CI eval — per-clip "
+                        "metrics over this many held-out clips per arm, "
+                        "greedy + K-draw sampled readouts, paired 95%% CIs "
+                        "between arms (record['ablation_ci']); 0 disables")
+    p.add_argument("--eval_ci_draws", type=int, default=8,
+                   help="sampled-readout draws per clip for the CI eval")
     p.add_argument("--vid_length", type=int, default=20)
     p.add_argument("--rl_batch", type=int, default=4)
     p.add_argument("--texture", type=float, default=1.0,
@@ -313,6 +320,8 @@ def cmd_pipeline(argv: List[str]) -> int:
         policy1_iterations=args.policy1_iterations,
         ppo_from_random_iterations=args.ppo_from_random_iterations,
         eval_videos=args.eval_videos,
+        eval_ci_clips=args.eval_ci_clips,
+        eval_ci_draws=args.eval_ci_draws,
         texture=args.texture,
         texture_vel=args.texture_vel,
         log_spatio=args.log_spatio,

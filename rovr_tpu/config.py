@@ -215,8 +215,9 @@ class RLConfig:
     # frames to 256x256, rovr.py:346). Measured on-chip (r4): at 256 the
     # 12-iter RAFT over a (4,20) batch costs 420 ms/call and — the real
     # trap — ~13 MIN of XLA compile; at 160 it is 140 ms and 13 s, at 128
-    # 61 ms. train/pipeline.py therefore clamps this to the demo frame
-    # size when --log_spatio is on; keep 256 only when frames are 256.
+    # 61 ms. rl.resolved_flow_size therefore clamps this to the smaller
+    # frame dimension at every entry point (upsampling past native size
+    # adds no flow information); 256 is only effective when frames are 256.
     spatio_flow_size: int = 256
     # Condition the inpainting UNet on the EVOLVING reconstruction (gather
     # target/context frames from `recon`) instead of the immutable corrupted

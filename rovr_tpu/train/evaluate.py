@@ -24,7 +24,13 @@ import jax.numpy as jnp
 
 from rovr_tpu.config import Config
 from rovr_tpu.models.raft import RAFTSmall, pairwise_flows, total_flow_magnitude
-from rovr_tpu.ops.metrics import context_exposure, flow_recovery, psnr, ssim
+from rovr_tpu.ops.metrics import (
+    context_exposure,
+    context_exposure_per_clip,
+    flow_recovery,
+    psnr,
+    ssim,
+)
 from rovr_tpu.train import rl
 
 
@@ -126,6 +132,185 @@ def eval_step(
         "Eval/ssim_agentic": jnp.mean(ssim(out.reconstructed, org_video)),
         "Eval/ssim_sequential": jnp.mean(ssim(out.experimental, org_video)),
         "Eval/lpips_agentic": jnp.mean(lp),
+    }
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 4))
+def eval_ci_step(
+    state: rl.ROVRState,
+    mods_rovr: rl.ROVRModules,
+    cfg: Config,
+    batch,
+    draws: int,
+    rng,
+) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Per-clip weight-free eval metrics under BOTH policy readouts, fully
+    jitted (the variance-proofed evaluation core, VERDICT r4 #1).
+
+    batch = (corrupted, original, masks), each (B, S, H, W, 3). Returns
+    {"greedy": {...}, "sampled": {...}} where every value is a per-clip (B,)
+    array:
+      * greedy — one deterministic argmax-top-2 rollout (the r2-r4 flagship
+        readout, cfg.rl.eval_greedy semantics); measured to swing masked
+        PSNR by dB per a few % exposure, hence the sampled companion.
+      * sampled — `draws` Gumbel-sampled rollouts per clip, metric averaged
+        over draws (the policy's actual behavioral distribution, rovr.py:141
+        sampling semantics). The draws ride as K batch replicas in ONE
+        rollout call: gumbel_log_softmax draws noise per batch row, so
+        replicas are independent draws; the episode-init artifacts (LPIPS
+        baseline, VGG taps, canvas/features — frozen-param functions of the
+        clip) are computed once on B and tiled, not recomputed K times.
+
+    The sequential (t-2, t-1) baseline is deterministic, so it runs only in
+    the greedy pass; RAFT/LPIPS ride in `eval_step`, not here (weight-random
+    in this environment — CI adjudication uses weight-free metrics only).
+    """
+    import dataclasses
+
+    video, org_video, masks = batch
+    s = video.shape[1]
+    cfg_g = cfg.replace(rl=dataclasses.replace(
+        cfg.rl, greedy=True, sequential_baseline=True))
+    cfg_s = cfg.replace(rl=dataclasses.replace(
+        cfg.rl, greedy=False, sequential_baseline=False))
+
+    hole = 1.0 - masks
+    hole1 = hole[..., :1]
+
+    def masked_psnr(x, org, h):
+        se = jnp.sum((x - org) ** 2 * h, axis=(1, 2, 3, 4))
+        mse = se / jnp.maximum(jnp.sum(h, axis=(1, 2, 3, 4)), 1.0)
+        return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))  # (B,)
+
+    def per_clip(out, org, h, h1):
+        seq_pairs = jnp.stack(
+            [(out.traj.target_idx - 2) % s, (out.traj.target_idx - 1) % s],
+            axis=-1,
+        )
+        m = {
+            "masked_psnr_agentic": masked_psnr(out.reconstructed, org, h),
+            "psnr_agentic": jnp.mean(psnr(out.reconstructed, org), axis=-1),
+            "exposure_agentic": context_exposure_per_clip(
+                h1, out.traj.target_idx, out.traj.actions),
+            "exposure_sequential": context_exposure_per_clip(
+                h1, out.traj.target_idx, seq_pairs),
+        }
+        return m
+
+    init = rl.episode_init(state, mods_rovr, cfg, video, org_video)
+    out_g = rl.rollout(state, mods_rovr, cfg_g, video, org_video, rng,
+                       init=init)
+    g = per_clip(out_g, org_video, hole, hole1)
+    g["masked_psnr_sequential"] = masked_psnr(
+        out_g.experimental, org_video, hole)
+    g["psnr_sequential"] = jnp.mean(psnr(out_g.experimental, org_video),
+                                    axis=-1)
+    g["masked_psnr_corrupted"] = masked_psnr(video, org_video, hole)
+    g["psnr_corrupted"] = jnp.mean(psnr(video, org_video), axis=-1)
+
+    def tile(x):
+        return jnp.concatenate([x] * draws, axis=0)
+
+    init_t = jax.tree.map(tile, init)
+    out_s = rl.rollout(state, mods_rovr, cfg_s, tile(video), tile(org_video),
+                       rng, init=init_t)
+    s_flat = per_clip(out_s, tile(org_video), tile(hole), tile(hole1))
+    # (K*B,) -> (K, B) -> mean over the K draws = the per-clip expected
+    # metric under the sampled policy
+    b = video.shape[0]
+    sampled = {k: jnp.mean(v.reshape(draws, b), axis=0)
+               for k, v in s_flat.items()}
+    return {"greedy": g, "sampled": sampled}
+
+
+def _tcrit(df: int) -> float:
+    """Two-sided 95% t critical value."""
+    try:
+        from scipy import stats
+
+        return float(stats.t.ppf(0.975, max(df, 1)))
+    except Exception:  # pragma: no cover - scipy is in the image
+        return 1.96 if df >= 30 else 2.1
+
+
+def summarize(vals) -> Dict[str, float]:
+    """mean ± 95% CI (t-interval over clips) for a per-clip metric."""
+    import numpy as np
+
+    v = np.asarray(vals, np.float64)
+    n = v.size
+    se = v.std(ddof=1) / np.sqrt(n) if n > 1 else float("inf")
+    ci = _tcrit(n - 1) * se
+    return {"mean": float(v.mean()), "ci95": float(ci), "n": int(n)}
+
+
+def paired_delta(a, b) -> Dict[str, float]:
+    """Paired per-clip difference a - b with a 95% t-interval and the
+    separation verdict |mean| > ci95. Pairing is the variance reducer: the
+    arms share clips and rollout seeds, so clip-difficulty variance cancels
+    in the difference (VERDICT r4 #1: "state plainly which deltas separate
+    outside their CIs")."""
+    import numpy as np
+
+    d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
+    out = summarize(d)
+    out["separates"] = bool(abs(out["mean"]) > out["ci95"])
+    return out
+
+
+def run_ci(
+    cfg: Optional[Config] = None,
+    state: Optional[rl.ROVRState] = None,
+    num_videos: int = 100,
+    sample_draws: int = 8,
+    data_texture: float = 0.0,
+    data_texture_vel: float = 1.5,
+    mods: Optional[EvalModules] = None,
+) -> Dict[str, Any]:
+    """Variance-proofed held-out evaluation: per-clip weight-free metrics
+    over >= `num_videos` device-synthetic clips, greedy AND K-draw sampled
+    readouts, mean ± 95% CI per metric (VERDICT r4 #1; the poster's eval
+    averages 20 rollouts with no spread, rovr.py:223-241 / BASELINE.md).
+
+    Every arm evaluated with the same cfg sees the SAME clips (the source is
+    seeded by cfg.run.seed) and the SAME rollout keys, so per-clip paired
+    deltas between arms (`paired_delta`) cancel clip difficulty.
+
+    Returns {"n_clips", "draws", "per_clip": {readout: {metric: [...]}},
+    "summary": {readout: {metric: {mean, ci95, n}}}}.
+    """
+    from rovr_tpu.data.device_synthetic import make_source
+    from rovr_tpu.utils.compilation_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+    cfg = cfg or Config()
+    rng = jax.random.PRNGKey(cfg.run.seed)
+    mods = mods or make_modules(cfg)
+    if state is None:
+        state = rl.init_state(cfg, mods.rovr, rng)
+
+    b = cfg.rl.batch_size
+    s = cfg.rl.vid_length
+    n_steps = max(1, -(-num_videos // b))  # ceil: at least num_videos clips
+    src = make_source(cfg, b, cfg.run.seed, data_texture, data_texture_vel)
+    acc: Dict[str, Dict[str, list]] = {"greedy": {}, "sampled": {}}
+    for i in range(n_steps):
+        corrupted, original, masks, _, _ = src.next(i)
+        batch = (corrupted[:, :s], original[:, :s], masks[:, :s])
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.run.seed + 1), i)
+        res = eval_ci_step(state, mods.rovr, cfg, batch, sample_draws, key)
+        for readout, ms in res.items():
+            for k, v in ms.items():
+                acc[readout].setdefault(k, []).extend(
+                    float(x) for x in jax.device_get(v))
+    return {
+        "n_clips": n_steps * b,
+        "draws": sample_draws,
+        "per_clip": acc,
+        "summary": {
+            readout: {k: summarize(v) for k, v in ms.items()}
+            for readout, ms in acc.items()
+        },
     }
 
 

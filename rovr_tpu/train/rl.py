@@ -211,6 +211,19 @@ def _maybe_raft(cfg: Config, dt):
     return RAFTSmall(dtype=dt)
 
 
+def resolved_flow_size(cfg: Config) -> int:
+    """The RAFT input size the spatio path actually uses: cfg.rl.
+    spatio_flow_size clamped to the smaller frame dimension. Upsampling
+    frames beyond their native size adds no flow information but (measured,
+    RLConfig.spatio_flow_size note) costs ~3x the RAFT time and a ~13-minute
+    XLA compile at 256 with 160px frames — and before r5 the clamp lived
+    only in pipeline.run's --log_spatio path, so calling rl.run with
+    log_spatio directly still hit the trap (ADVICE r4). Clamping here, where
+    the size is resolved, covers every entry point; both frame dimensions
+    bound it so non-square frames clamp on their short side."""
+    return min(cfg.rl.spatio_flow_size, *cfg.data.frame_size)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def init_state(
     cfg: Config,
@@ -279,7 +292,7 @@ def init_state(
     lp_p = lpips_params or mods.lpips.init(ks[7], target, target)["params"]
     raft_p = raft_params
     if mods.raft is not None and raft_p is None:
-        fs = cfg.rl.spatio_flow_size
+        fs = resolved_flow_size(cfg)
         flow_img = jnp.zeros((1, fs, fs, 3))
         raft_p = mods.raft.init(
             jax.random.fold_in(rng, 99), flow_img, flow_img
@@ -672,7 +685,7 @@ def rollout(
 
         def phi(v):
             flows = pairwise_flows(
-                mods.raft, state.raft_params, v, size=rl.spatio_flow_size
+                mods.raft, state.raft_params, v, size=resolved_flow_size(cfg)
             )
             return total_flow_magnitude(flows)[0]
 
