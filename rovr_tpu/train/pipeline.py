@@ -121,6 +121,12 @@ def run(
     policy1_iterations: int = 0,
     ppo_from_random_iterations: int = 0,
     log_spatio: bool = False,
+    # Variance-proofed held-out eval (VERDICT r4 #1): per-clip metrics over
+    # >= eval_ci_clips held-out clips per arm, greedy AND eval_ci_draws-draw
+    # sampled readouts, paired 95% CIs between arms (evaluate.run_ci).
+    # 0 clips disables (probe runs that only need the legacy 20-clip eval).
+    eval_ci_clips: int = 100,
+    eval_ci_draws: int = 8,
 ) -> Dict[str, Any]:
     """Run all four stages; return (and optionally write) the full record:
     stage metric curves + held-out eval for the trained policy, a
@@ -167,6 +173,10 @@ def run(
             "imitation_steps": imitation_steps,
             "rl_iterations": rl_iterations,
             "eval_videos": eval_videos,
+            "eval_ci_clips": eval_ci_clips,
+            "eval_ci_draws": eval_ci_draws,
+            "policy1_iterations": policy1_iterations,
+            "ppo_from_random_iterations": ppo_from_random_iterations,
         }
     }
     t0 = time.time()
@@ -240,16 +250,16 @@ def run(
     # (the flagship PPO run — the reference logs it every episode,
     # rovr.py:234-243). The 12-iteration RAFT on every train step is the
     # single most expensive metric in the pipeline, so the ablation arms
-    # (3b, policy1) keep the base cfg; spatio_flow_size matches the demo's
-    # native frame size rather than the reference's hardcoded 256
-    # (rovr.py:346) — at frame 160 resizing UP to 256 would quadruple the
-    # flow cost to measure the same signal.
+    # (3b, policy1) keep the base cfg; the flow size is the clamped value
+    # rl.resolved_flow_size picks (native frame size, not the reference's
+    # hardcoded 256, rovr.py:346 — at frame 160 resizing UP to 256 would
+    # quadruple the flow cost to measure the same signal), recorded here so
+    # the run record states what actually ran.
     cfg_rl = cfg
     if log_spatio:
         cfg_rl = cfg.replace(rl=dataclasses.replace(
             cfg.rl, log_spatio=True,
-            spatio_flow_size=min(cfg.rl.spatio_flow_size,
-                                 cfg.data.frame_size[0]),
+            spatio_flow_size=rl.resolved_flow_size(cfg),
         ))
         record["config"]["log_spatio"] = True
         record["config"]["spatio_flow_size"] = cfg_rl.rl.spatio_flow_size
@@ -367,6 +377,81 @@ def run(
             for k in keys
         }
     record["ppo_ablation"] = abl
+
+    # ---- Stage 4b: variance-proofed CI eval (VERDICT r4 #1). Every arm
+    # rides the SAME held-out clips and rollout keys (evaluate.run_ci seeds
+    # from eval_cfg), per-clip metrics under greedy AND K-draw sampled
+    # readouts, and the ablation deltas become PAIRED per-clip differences
+    # with 95% t-intervals — the adjudication the learning claims quote.
+    if eval_ci_clips > 0:
+        t3b = time.time()
+        arms = {
+            "trained": rl_state,
+            "warm_start_only": warm_only_state,
+            "random_policy": control_state,
+        }
+        if rl_state_rnd is not None:
+            arms["ppo_from_random"] = rl_state_rnd
+        record["eval_ci"] = {
+            name: evaluate.run_ci(
+                eval_cfg, state=st, num_videos=eval_ci_clips,
+                sample_draws=eval_ci_draws, data_texture=texture,
+                data_texture_vel=texture_vel, mods=mods_eval,
+            )
+            for name, st in arms.items()
+        }
+        pc = {name: r["per_clip"] for name, r in record["eval_ci"].items()}
+
+        def _pair(a_arm, b_arm, readout, key_a, key_b=None):
+            return evaluate.paired_delta(
+                pc[a_arm][readout][key_a],
+                pc[b_arm][readout][key_b or key_a],
+            )
+
+        ci: Dict[str, Any] = {}
+        for readout in ("greedy", "sampled"):
+            t = {}
+            for key in ("masked_psnr_agentic", "exposure_agentic",
+                        "psnr_agentic"):
+                row = {
+                    "trained_vs_random":
+                        _pair("trained", "random_policy", readout, key),
+                    "ppo_on_warm_start":
+                        _pair("trained", "warm_start_only", readout, key),
+                    "warm_start_vs_random":
+                        _pair("warm_start_only", "random_policy", readout, key),
+                }
+                if rl_state_rnd is not None:
+                    row["ppo_from_random_vs_random"] = _pair(
+                        "ppo_from_random", "random_policy", readout, key)
+                t[key] = row
+            # agentic vs the deterministic sequential baseline, within the
+            # trained arm (the poster's headline comparison) — sequential is
+            # readout-independent, so it pairs against the greedy list
+            t["masked_psnr_agentic"]["trained_agentic_vs_sequential"] = (
+                evaluate.paired_delta(
+                    pc["trained"][readout]["masked_psnr_agentic"],
+                    pc["trained"]["greedy"]["masked_psnr_sequential"],
+                )
+            )
+            ci[readout] = t
+        record["ablation_ci"] = ci
+
+        def _fmt(d):
+            sep = "SEPARATES" if d["separates"] else "within CI"
+            return f"{d['mean']:+.3f} ± {d['ci95']:.3f} ({sep})"
+
+        mpk = "masked_psnr_agentic"
+        print(
+            f"[pipeline] CI eval done in {time.time() - t3b:.0f}s "
+            f"(n={record['eval_ci']['trained']['n_clips']} clips, "
+            f"K={eval_ci_draws} draws); masked-PSNR deltas (dB):"
+        )
+        for readout in ("greedy", "sampled"):
+            rows = ci[readout][mpk]
+            print(f"  [{readout}] " + "  ".join(
+                f"{k}: {_fmt(v)}" for k, v in rows.items()))
+
     # ---- Stage 5 (optional): PPO on the frame-selection policy π₁.
     if policy1_iterations > 0:
         t4 = time.time()
@@ -379,7 +464,7 @@ def run(
         # Context policy π₂ comes in RL-trained from Stage 3 so only frame
         # selection is left to learn; π₁/V₁/LSTM start fresh.
         warm5 = dict(warm, actor2_params=rl_state.actor2_params)
-        rl.run(
+        p1_state = rl.run(
             p1_cfg, iterations=policy1_iterations,
             log_cb=_collect(p1_curve), init_params=warm5,
             data_texture=texture, data_texture_vel=texture_vel,
@@ -403,12 +488,86 @@ def run(
             ),
         }
         ps = record["policy1_summary"]
+
+        # π₁ random-control (VERDICT r4 #3 / weak #2): the r4 record read
+        # "coverage 0.666 vs random-expected 0.642" — chance level dressed
+        # as learning. Measure it: the TRAINED π₁ vs a FRESH random π₁
+        # (same trained π₂/UNet/LSTM-free readout, sampled rollouts) on the
+        # SAME held-out clips and keys, paired per clip with 95% CIs. The
+        # summary then states separation or chance-level explicitly.
+        from rovr_tpu.data.device_synthetic import make_source as _mk_src
+
+        mods_p1 = rl.make_modules(p1_cfg)
+        p1_ctrl = rl.init_state(
+            p1_cfg, mods_p1, jax.random.PRNGKey(cfg.run.seed + 6), **warm5
+        )
+        s_frames = p1_cfg.rl.vid_length
+        t_steps = p1_cfg.rl.time_steps
+
+        @jax.jit
+        def _p1_stats(st, video, org, key):
+            out = rl.rollout(st, mods_p1, p1_cfg, video, org, key)
+            tgt = out.traj.target_idx  # (T, B)
+            distinct = jnp.sum(
+                jnp.any(jax.nn.one_hot(tgt, s_frames, dtype=jnp.bool_),
+                        axis=0),
+                axis=1,
+            )
+            return distinct / t_steps, out.traj.rtgs[0]  # (B,), (B,)
+
+        ctrl_cfg = p1_cfg.replace(run=dataclasses.replace(
+            p1_cfg.run, seed=cfg.run.seed + 10_000))
+        b = p1_cfg.rl.batch_size
+        n_ctrl = max(1, -(-eval_ci_clips // b)) if eval_ci_clips > 0 else 8
+        src5 = _mk_src(ctrl_cfg, b, ctrl_cfg.run.seed, texture, texture_vel)
+        cov = {"trained": [], "random_policy1": []}
+        ret = {"trained": [], "random_policy1": []}
+        for i in range(n_ctrl):
+            corrupted, original, _, _, _ = src5.next(i)
+            v5 = corrupted[:, :s_frames]
+            o5 = original[:, :s_frames]
+            k5 = jax.random.fold_in(
+                jax.random.PRNGKey(ctrl_cfg.run.seed + 2), i)
+            for name, st in (("trained", p1_state),
+                             ("random_policy1", p1_ctrl)):
+                c, r = _p1_stats(st, v5, o5, k5)
+                cov[name].extend(float(x) for x in jax.device_get(c))
+                ret[name].extend(float(x) for x in jax.device_get(r))
+        cov_d = evaluate.paired_delta(cov["trained"], cov["random_policy1"])
+        ret_d = evaluate.paired_delta(ret["trained"], ret["random_policy1"])
+        record["policy1_control"] = {
+            "n_clips": n_ctrl * b,
+            "coverage": {
+                "trained": evaluate.summarize(cov["trained"]),
+                "random_policy1": evaluate.summarize(cov["random_policy1"]),
+                "delta": cov_d,
+            },
+            "return": {
+                "trained": evaluate.summarize(ret["trained"]),
+                "random_policy1": evaluate.summarize(ret["random_policy1"]),
+                "delta": ret_d,
+            },
+        }
+        ps["coverage_random_measured"] = record["policy1_control"][
+            "coverage"]["random_policy1"]["mean"]
+        ps["separates_from_random"] = bool(
+            cov_d["separates"] and cov_d["mean"] > 0)
+        ps["verdict"] = (
+            "trained pi1 separates from the random-pi1 control"
+            if ps["separates_from_random"]
+            else "CHANCE-LEVEL: trained pi1 does not separate from the "
+                 "random-pi1 control on held-out clips"
+        )
         print(f"[pipeline] policy1 RL done in {time.time() - t4:.0f}s: "
               f"coverage {ps['coverage_first10']:.3f} -> "
               f"{ps['coverage_last10']:.3f} "
               f"(random {ps['coverage_random_expected']:.3f}, ceiling 1.0); "
               f"return {ps['return_first10']:.3f} -> "
               f"{ps['return_last10']:.3f}")
+        print(f"[pipeline] policy1 control (n={n_ctrl * b}): "
+              f"coverage trained {cov_d['mean']:+.3f} ± {cov_d['ci95']:.3f} "
+              f"vs random-pi1; return {ret_d['mean']:+.3f} ± "
+              f"{ret_d['ci95']:.3f}; {ps['verdict']}")
 
     record["wall_seconds"] = time.time() - t0
     et, er = record["eval_trained"], record["eval_random_policy"]
