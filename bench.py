@@ -45,7 +45,8 @@ The default run ALSO measures the BASELINE config-5 "scaled" profile
 detail.scaled, so the driver's BENCH_r*.json pins the north-star long-clip
 number alongside the reference-shaped default (VERDICT r4 #2). Knobs:
 BENCH_SCALED=0 skips it; BENCH_SCALED_BATCH/_VID_LENGTH/_STEPS/_REPEATS
-size it (defaults 4/64/6/3).
+size it (defaults 8/64/6/3 — batch 8/chip is the measured scaled optimum:
+332 f/s vs 323 at batch 4).
 """
 
 from __future__ import annotations
@@ -250,7 +251,10 @@ def main() -> None:
         try:
             scaled = measure(
                 "scaled",
-                int(os.environ.get("BENCH_SCALED_BATCH", "4")),
+                # batch 8/chip is the measured scaled optimum: 332 f/s vs
+                # 323 at batch 4 (the tap-cache knobs engage at 8x64 frames
+                # and it still fits 16 GB; docs/performance.md config-5)
+                int(os.environ.get("BENCH_SCALED_BATCH", "8")),
                 int(os.environ.get("BENCH_SCALED_VID_LENGTH", "64")),
                 int(os.environ.get("BENCH_SCALED_STEPS", "6")),
                 int(os.environ.get("BENCH_SCALED_REPEATS", "3")),
