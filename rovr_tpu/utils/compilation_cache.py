@@ -41,19 +41,37 @@ def enable(cache_dir: str | None = None) -> None:
     _enabled = True
 
 
+def cap_cpu_isa() -> None:
+    """Cap XLA:CPU codegen at AVX2 (idempotent; must run before the backend
+    initializes). Rationale (r5, observed): this VM migrates between fleet
+    hosts whose CPUID differs in ways /proc/cpuinfo does not capture (AMX
+    subfeatures, XLA's prefer-no-gather/scatter tuning bits), so AOT
+    executables cached by an earlier session can SIGILL/segfault when
+    loaded later — two full-suite runs died inside
+    `backend_compile_and_load` exactly this way. AVX2 is the fleet-wide
+    common denominator; the suite is tiny-shape dominated, so the codegen
+    cap costs little and makes every cached executable portable."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_max_isa" not in flags:
+        os.environ["XLA_FLAGS"] = flags + " --xla_cpu_max_isa=AVX2"
+
+
 def _machine_key() -> str:
     """Fingerprint of this host's CPU (model name + feature flags), so a CPU
-    cache is never shared between hosts with different ISAs."""
+    cache is never shared between hosts with different ISAs. The "avx2cap"
+    bit ties the key to the cap_cpu_isa codegen cap: entries compiled
+    before the cap existed live under a different key and are never
+    loaded."""
     import hashlib
     import platform
 
-    bits = [platform.machine(), platform.processor()]
+    bits = ["avx2cap", platform.machine(), platform.processor()]
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith(("model name", "flags")):
                     bits.append(line.strip())
-                    if len(bits) >= 4:
+                    if len(bits) >= 5:
                         break
     except OSError:
         pass
@@ -67,11 +85,14 @@ def enable_cpu_cache() -> None:
     that reason — the axon tunnel compiles on a different host than it
     executes). Here the key pins the cache to THIS machine's CPU, which is
     safe: the test suite compiles and runs on the same host. Cuts repeat
-    suite runs from minutes of XLA compiles to cache loads.
+    suite runs from minutes of XLA compiles to cache loads. Codegen is
+    capped at AVX2 (cap_cpu_isa) so entries survive this VM migrating
+    between fleet hosts; the cap is baked into the cache key.
     """
     global _enabled
     if _enabled or os.environ.get("ROVR_NO_COMPILE_CACHE") == "1":
         return
+    cap_cpu_isa()
     import jax
 
     path = os.path.join(

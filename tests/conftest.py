@@ -8,8 +8,12 @@ env var alone is not enough — jax.config.update is authoritative.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# --xla_cpu_max_isa=AVX2: cap codegen at the fleet-portable ISA so the
+# persistent CPU cache's AOT executables never SIGILL after this VM
+# migrates hosts (utils/compilation_cache.cap_cpu_isa rationale).
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8 --xla_cpu_max_isa=AVX2"
 )
 
 import jax  # noqa: E402
